@@ -150,7 +150,7 @@ RELATION_OPS = (
 class ColSpec:
     name: str
     typing: Any = None  # ColType or None (Any?)
-    default: Optional[Expr] = None
+    default: Optional[Tuple[Expr, str]] = None  # (expr, source text)
     gen_binding: Optional[str] = None  # `= out_var` form
 
 

@@ -422,8 +422,9 @@ class Parser:
             elif self.peek().kind == NAME and self.at_punct(":", 1):
                 optname = self.next().text
                 self.next()
-                val = self.eval_const_expr(self.parse_expr())
-                options[optname] = val
+                # kept as Expr: some options are per-row condition/weight
+                # expressions evaluated by the fixed rule itself
+                options[optname] = self.parse_expr().fold_const()
             else:
                 raise self.err("bad fixed rule argument")
             if not self.eat_punct(","):
@@ -660,7 +661,10 @@ class Parser:
                 typing = self.parse_col_type()
             if self.at_name("default"):
                 self.next()
+                start_tok = self.peek()
                 default = self.parse_expr()
+                end_tok = self.toks[self.pos - 1]
+                default = (default, self.src[start_tok.start : end_tok.end])
             elif self.at_punct("="):
                 self.next()
                 gen = self.expect_name("output variable").text

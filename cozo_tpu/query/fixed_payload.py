@@ -1,0 +1,214 @@
+"""Payload passed to fixed rules (reference `fixed_rule/mod.rs:47`):
+uniform access to rule-store / stored-relation inputs plus options."""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from ..data.program import (
+    FixedRuleNamedRelArg,
+    FixedRuleRelArg,
+    FixedRuleRuleArg,
+)
+from ..data.value import cmp_key
+from ..utils.errors import QueryError
+
+
+class FixedInput:
+    """One input relation of a fixed rule."""
+
+    def __init__(self, arg, ctx) -> None:
+        self.arg = arg
+        self.ctx = ctx
+
+    def rows(self) -> List[list]:
+        arg, ctx = self.arg, self.ctx
+        if isinstance(arg, FixedRuleRuleArg):
+            store = ctx.stores.get(arg.name)
+            if store is None:
+                raise QueryError(f"input rule '{arg.name}' not found")
+            return list(store.total.values())
+        handle = ctx.tx.get_relation(arg.name)
+        handle.ensure_can_read()
+        tx = ctx.tx.store_tx_for(handle)
+        if isinstance(arg, FixedRuleNamedRelArg):
+            cols = [c for c, _ in arg.pairs]
+            idxs = [handle.col_index(c) for c in cols]
+            return [[r[i] for i in idxs] for r in handle.scan_all(tx)]
+        if arg.validity is not None:
+            vld = ctx.eval_vld(arg.validity)
+            return list(handle.scan_at_validity(tx, [], vld))
+        return list(handle.scan_all(tx))
+
+    def arity(self) -> int:
+        arg, ctx = self.arg, self.ctx
+        if isinstance(arg, FixedRuleRuleArg):
+            rows = self.rows()
+            return len(rows[0]) if rows else len(arg.bindings)
+        if isinstance(arg, FixedRuleNamedRelArg):
+            return len(arg.pairs)
+        return ctx.tx.get_relation(arg.name).arity
+
+    def binding_map(self) -> Dict[str, int]:
+        arg = self.arg
+        if isinstance(arg, (FixedRuleRuleArg, FixedRuleRelArg)):
+            return {b: i for i, b in enumerate(arg.bindings)}
+        if isinstance(arg, FixedRuleNamedRelArg):
+            return {
+                (alias or col): i for i, (col, alias) in enumerate(arg.pairs)
+            }
+        return {}
+
+    # --- graph adapters (reference `fixed_rule/mod.rs:136-328`) -------------
+
+    def as_directed_graph(self, undirected: bool = False):
+        """Returns (indptr, indices, vertices) as a numpy CSR over interned
+        vertex ids — the host-side staging format for the TPU kernels."""
+        rows = self.rows()
+        verts: Dict[tuple, int] = {}
+        vert_vals: List[Any] = []
+
+        def intern(v):
+            k = cmp_key(v)
+            i = verts.get(k)
+            if i is None:
+                i = len(vert_vals)
+                verts[k] = i
+                vert_vals.append(v)
+            return i
+
+        src = []
+        dst = []
+        for r in rows:
+            if len(r) < 2:
+                raise QueryError("graph input requires rows of at least 2 columns")
+            a, b = intern(r[0]), intern(r[1])
+            src.append(a)
+            dst.append(b)
+            if undirected:
+                src.append(b)
+                dst.append(a)
+        n = len(vert_vals)
+        src_a = np.asarray(src, dtype=np.int64)
+        dst_a = np.asarray(dst, dtype=np.int64)
+        order = np.argsort(src_a, kind="stable")
+        src_a, dst_a = src_a[order], dst_a[order]
+        indptr = np.zeros(n + 1, dtype=np.int64)
+        np.add.at(indptr, src_a + 1, 1)
+        indptr = np.cumsum(indptr)
+        return indptr, dst_a, vert_vals
+
+    def as_directed_weighted_graph(
+        self, undirected: bool = False, allow_negative: bool = False
+    ):
+        rows = self.rows()
+        verts: Dict[tuple, int] = {}
+        vert_vals: List[Any] = []
+
+        def intern(v):
+            k = cmp_key(v)
+            i = verts.get(k)
+            if i is None:
+                i = len(vert_vals)
+                verts[k] = i
+                vert_vals.append(v)
+            return i
+
+        src, dst, wts = [], [], []
+        for r in rows:
+            if len(r) < 2:
+                raise QueryError("graph input requires rows of at least 2 columns")
+            a, b = intern(r[0]), intern(r[1])
+            w = 1.0
+            if len(r) > 2:
+                v = r[2]
+                if isinstance(v, bool) or not isinstance(v, (int, float)):
+                    raise QueryError(f"edge weight must be numeric, got {v!r}")
+                w = float(v)
+                if not allow_negative and w < 0:
+                    raise QueryError("edge weight must be non-negative")
+            src.append(a)
+            dst.append(b)
+            wts.append(w)
+            if undirected:
+                src.append(b)
+                dst.append(a)
+                wts.append(w)
+        n = len(vert_vals)
+        src_a = np.asarray(src, dtype=np.int64)
+        dst_a = np.asarray(dst, dtype=np.int64)
+        w_a = np.asarray(wts, dtype=np.float64)
+        order = np.argsort(src_a, kind="stable")
+        src_a, dst_a, w_a = src_a[order], dst_a[order], w_a[order]
+        indptr = np.zeros(n + 1, dtype=np.int64)
+        np.add.at(indptr, src_a + 1, 1)
+        indptr = np.cumsum(indptr)
+        return indptr, dst_a, w_a, vert_vals
+
+
+class FixedRulePayload:
+    def __init__(self, apply, ctx) -> None:
+        self.apply = apply
+        self.ctx = ctx
+        self.options: Dict[str, Any] = apply.options
+
+    def get_input(self, i: int) -> FixedInput:
+        if i >= len(self.apply.inputs):
+            raise QueryError(
+                f"fixed rule '{self.apply.fixed_name}' requires at least "
+                f"{i + 1} input(s)"
+            )
+        return FixedInput(self.apply.inputs[i], self.ctx)
+
+    def n_inputs(self) -> int:
+        return len(self.apply.inputs)
+
+    def option(self, name: str, default=None):
+        from ..data.expr import Const, Expr
+
+        v = self.options.get(name)
+        if v is None:
+            return default
+        if isinstance(v, Expr):
+            v = v.fold_const()
+            if not isinstance(v, Const):
+                raise QueryError(f"option '{name}' must be a constant")
+            return v.val
+        return v
+
+    def int_option(self, name: str, default=None) -> Optional[int]:
+        v = self.option(name, default)
+        if v is None:
+            return None
+        if isinstance(v, bool) or not isinstance(v, int):
+            raise QueryError(f"option '{name}' must be an integer, got {v!r}")
+        return v
+
+    def float_option(self, name: str, default=None) -> Optional[float]:
+        v = self.option(name, default)
+        if v is None:
+            return None
+        if isinstance(v, bool) or not isinstance(v, (int, float)):
+            raise QueryError(f"option '{name}' must be a number, got {v!r}")
+        return float(v)
+
+    def bool_option(self, name: str, default=None) -> Optional[bool]:
+        v = self.option(name, default)
+        if v is None:
+            return None
+        if not isinstance(v, bool):
+            raise QueryError(f"option '{name}' must be a boolean, got {v!r}")
+        return v
+
+    def string_option(self, name: str, default=None) -> Optional[str]:
+        v = self.option(name, default)
+        if v is None:
+            return None
+        if not isinstance(v, str):
+            raise QueryError(f"option '{name}' must be a string, got {v!r}")
+        return v
+
+    def expr_option(self, name: str, default=None):
+        return self.options.get(name, default)

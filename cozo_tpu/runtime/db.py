@@ -1,0 +1,585 @@
+"""Db — the embedding API and query orchestrator
+(reference `cozo-core/src/runtime/db.rs` + `src/lib.rs`).
+
+Owns storage + per-script temp storage, the fixed-rule registry, the
+event-callback registry, the running-query registry (::running/::kill),
+and per-relation write locks.  `run_script` is the single entry point:
+parse → (query | sys | imperative) → NamedRows."""
+
+from __future__ import annotations
+
+import functools
+import itertools
+import json as _json
+import threading
+import time as _time
+from typing import Any, Callable, Dict, List, Optional, Set, Tuple
+
+from ..data.functions import current_validity_ts
+from ..data.program import InputProgram, QueryOutOptions
+from ..data.value import cmp_key, to_json
+from ..parse import ast as A
+from ..parse.parser import parse_script
+from ..query.eval import EvalContext, evaluate_strata
+from ..query.normalize import normalize_program
+from ..query.stored import create_relation, destroy_relation, execute_mutation
+from ..query.stratify import stratify_program
+from ..storage.base import Storage
+from ..storage.mem import MemStorage
+from ..utils.errors import (
+    CozoError,
+    QueryError,
+    QueryKilled,
+    QueryTimeout,
+    StoredRelationError,
+)
+from .relation import ACCESS_LEVELS, Catalog, RelationHandle, rel_prefix, rel_upper
+from .transact import SessionTx
+
+
+class NamedRows:
+    def __init__(self, headers: List[str], rows: List[list], next_rows=None):
+        self.headers = headers
+        self.rows = rows
+        self.next = next_rows
+
+    def to_dict(self) -> dict:
+        d = {
+            "headers": self.headers,
+            "rows": [[to_json(v) for v in r] for r in self.rows],
+        }
+        d["next"] = self.next.to_dict() if self.next is not None else None
+        return d
+
+    def __repr__(self):
+        return f"NamedRows({self.headers}, {len(self.rows)} rows)"
+
+    @staticmethod
+    def ok():
+        return NamedRows(["status"], [["OK"]])
+
+
+class Poison:
+    """Cancellation + timeout flag checked inside evaluation loops
+    (reference `runtime/db.rs:1926-1956`)."""
+
+    def __init__(self) -> None:
+        self.killed = False
+        self.deadline: Optional[float] = None
+
+    def check(self) -> None:
+        if self.killed:
+            raise QueryKilled("query is killed before completion")
+        if self.deadline is not None and _time.monotonic() > self.deadline:
+            raise QueryTimeout("query timed out")
+
+    def set_timeout(self, secs: float) -> None:
+        self.deadline = _time.monotonic() + secs
+
+
+class Db:
+    def __init__(self, engine: str = "mem", path: str = "") -> None:
+        if isinstance(engine, Storage):
+            self.storage: Storage = engine
+        elif engine == "mem":
+            self.storage = MemStorage()
+        elif engine == "sqlite":
+            from ..storage.sqlite import SqliteStorage
+
+            self.storage = SqliteStorage(path)
+        elif engine in ("rocksdb", "tkv"):
+            from ..storage.tkv import TkvStorage
+
+            self.storage = TkvStorage(path)
+        else:
+            raise CozoError(f"unknown storage engine '{engine}'")
+        tx = self.storage.transact(write=True)
+        Catalog.init_storage(tx)
+        tx.commit()
+
+        from ..fixed_rule import DEFAULT_FIXED_RULES
+
+        self.fixed_rules: Dict[str, Any] = dict(DEFAULT_FIXED_RULES)
+        self._cb_lock = threading.Lock()
+        self._cb_next_id = 0
+        self._callbacks: Dict[int, Tuple[str, Callable]] = {}
+        self._running_lock = threading.Lock()
+        self._running_next_id = 0
+        self._running: Dict[int, dict] = {}
+        self._rel_locks: Dict[str, threading.RLock] = {}
+        self._rel_locks_guard = threading.Lock()
+        self.algo_cache: Dict[str, Any] = {}
+
+    # ------------------------------------------------------------------ public
+
+    def run_script(
+        self,
+        payload: str,
+        params: Optional[Dict[str, Any]] = None,
+        immutable: bool = False,
+    ) -> NamedRows:
+        cur_vld = current_validity_ts()
+        script = parse_script(payload, params or {})
+        if isinstance(script, A.SysScript):
+            return self.run_sys_op(script.op, immutable)
+        if isinstance(script, A.ImperativeScript):
+            return self._execute_imperative(script, cur_vld, immutable)
+        return self._execute_single(script.prog, cur_vld, immutable)
+
+    def run_script_json(self, payload: str, params_json: str = "{}") -> str:
+        """String-in/string-out convenience (reference `lib.rs:244` adds
+        ok/took folding)."""
+        start = _time.time()
+        try:
+            params = _json.loads(params_json) if params_json else {}
+            res = self.run_script(payload, params)
+            d = res.to_dict()
+            d["ok"] = True
+            d["took"] = _time.time() - start
+            return _json.dumps(d)
+        except CozoError as e:
+            return _json.dumps(
+                {"ok": False, "message": e.message, "code": e.code, "display": str(e)}
+            )
+        except Exception as e:  # noqa: BLE001
+            return _json.dumps({"ok": False, "message": str(e), "code": "unexpected"})
+
+    def close(self) -> None:
+        self.storage.close()
+
+    # --------------------------------------------------------------- callbacks
+
+    def register_callback(self, relation: str, callback: Callable) -> int:
+        with self._cb_lock:
+            self._cb_next_id += 1
+            self._callbacks[self._cb_next_id] = (relation, callback)
+            return self._cb_next_id
+
+    def unregister_callback(self, cb_id: int) -> bool:
+        with self._cb_lock:
+            return self._callbacks.pop(cb_id, None) is not None
+
+    def _callback_targets(self) -> Set[str]:
+        with self._cb_lock:
+            return {rel for rel, _ in self._callbacks.values()}
+
+    def _send_callbacks(self, collector: Dict[str, list]) -> None:
+        if not collector:
+            return
+        with self._cb_lock:
+            cbs = list(self._callbacks.values())
+        for rel, events in collector.items():
+            for op, new_rows, old_rows in events:
+                for target_rel, fn in cbs:
+                    if target_rel == rel:
+                        try:
+                            fn(op, rel, new_rows, old_rows)
+                        except Exception:  # noqa: BLE001
+                            pass
+
+    # ------------------------------------------------------------- fixed rules
+
+    def register_fixed_rule(self, name: str, rule) -> None:
+        if name in self.fixed_rules:
+            raise QueryError(f"fixed rule '{name}' already registered")
+        self.fixed_rules[name] = rule
+
+    def unregister_fixed_rule(self, name: str) -> bool:
+        from ..fixed_rule import DEFAULT_FIXED_RULES
+
+        if name in DEFAULT_FIXED_RULES:
+            raise QueryError(f"cannot unregister builtin fixed rule '{name}'")
+        return self.fixed_rules.pop(name, None) is not None
+
+    # ------------------------------------------------------------------- locks
+
+    def _lock_for(self, name: str) -> threading.RLock:
+        with self._rel_locks_guard:
+            lk = self._rel_locks.get(name)
+            if lk is None:
+                lk = threading.RLock()
+                self._rel_locks[name] = lk
+            return lk
+
+    # -------------------------------------------------------------- query path
+
+    def _new_session(self, write: bool, cur_vld: int) -> SessionTx:
+        return SessionTx(self.storage.transact(write=write), MemStorage(), cur_vld)
+
+    def _register_running(self, poison: Poison, payload: str) -> int:
+        with self._running_lock:
+            self._running_next_id += 1
+            self._running[self._running_next_id] = {
+                "poison": poison,
+                "started_at": _time.time(),
+                "payload": payload,
+            }
+            return self._running_next_id
+
+    def _unregister_running(self, qid: int) -> None:
+        with self._running_lock:
+            self._running.pop(qid, None)
+
+    def _execute_single(
+        self, prog: InputProgram, cur_vld: int, immutable: bool
+    ) -> NamedRows:
+        write = prog.out_opts.store_relation is not None
+        if write and immutable:
+            raise QueryError("attempting to write in read-only mode")
+        locks: List[threading.RLock] = []
+        if write:
+            locks.append(self._lock_for(prog.out_opts.store_relation.name))
+        for lk in locks:
+            lk.acquire()
+        poison = Poison()
+        qid = self._register_running(poison, "<query>")
+        tx = self._new_session(write, cur_vld)
+        cb_targets = self._callback_targets()
+        collector: Dict[str, list] = {}
+        try:
+            res = self._run_query_program(
+                tx, prog, cur_vld, cb_targets, collector, True, poison
+            )
+            tx.commit()
+            self._send_callbacks(collector)
+            return res
+        except BaseException:
+            tx.abort()
+            raise
+        finally:
+            self._unregister_running(qid)
+            for lk in locks:
+                lk.release()
+
+    def _run_query_program(
+        self,
+        tx: SessionTx,
+        prog: InputProgram,
+        cur_vld: int,
+        callback_targets: Set[str],
+        callback_collector: Dict[str, list],
+        propagate_triggers: bool,
+        poison: Optional[Poison] = None,
+    ) -> NamedRows:
+        opts = prog.out_opts
+        if poison is None:
+            poison = Poison()
+        if opts.timeout is not None:
+            poison.set_timeout(opts.timeout)
+
+        if not prog.rules:
+            if opts.store_relation is None:
+                raise QueryError("no entry to query: the query is empty")
+            headers = (
+                [c.name for c in opts.store_relation.schema.keys]
+                + [c.name for c in opts.store_relation.schema.values]
+                if opts.store_relation.schema
+                else []
+            )
+            rows: List[list] = []
+        else:
+            if "?" not in prog.rules:
+                raise QueryError("entry rule '?' not found", code="eval::no_entry")
+            nf = normalize_program(prog)
+            strata = stratify_program(nf)
+            ctx = EvalContext(
+                tx,
+                self.fixed_rules,
+                poison=poison,
+                search_compiler=self._compile_search,
+            )
+            limit_hint = None
+            if (
+                opts.limit is not None
+                and not opts.sorters
+                and opts.store_relation is None
+            ):
+                limit_hint = opts.limit + (opts.offset or 0)
+            evaluate_strata(strata, ctx, limit_hint)
+            store = ctx.stores["?"]
+            rows = [list(r) for r in store.total.values()]
+            rows.sort(key=lambda r: tuple(cmp_key(v) for v in r))
+            headers = self._entry_headers(prog)
+
+        if opts.sorters:
+            rows = self._apply_sorters(rows, headers, opts.sorters)
+        if opts.offset:
+            rows = rows[opts.offset :]
+        if opts.limit is not None:
+            rows = rows[: opts.limit]
+
+        if opts.assert_none and rows:
+            raise QueryError(
+                "assertion failure: query returned some rows",
+                code="eval::assert_none_failure",
+            )
+        if opts.assert_some and not rows:
+            raise QueryError(
+                "assertion failure: query returned no rows",
+                code="eval::assert_some_failure",
+            )
+
+        if opts.sleep:
+            _time.sleep(opts.sleep)
+
+        if opts.store_relation is not None:
+            lock = None
+            if not opts.store_relation.name.startswith("_"):
+                lock = self._lock_for(opts.store_relation.name)
+                lock.acquire()
+            try:
+                returning = execute_mutation(
+                    self,
+                    tx,
+                    rows,
+                    headers,
+                    opts.store_relation,
+                    cur_vld,
+                    callback_targets,
+                    callback_collector,
+                    propagate_triggers,
+                )
+            finally:
+                if lock is not None:
+                    lock.release()
+            if opts.returning:
+                handle = tx.get_relation(opts.store_relation.name)
+                return NamedRows(["_kind"] + handle.col_names(), returning)
+            return NamedRows.ok()
+        return NamedRows(headers, rows)
+
+    @staticmethod
+    def _entry_headers(prog: InputProgram) -> List[str]:
+        from ..data.program import ConstRule, FixedRuleApply, InputRule
+
+        entry = prog.rules["?"][-1]
+        if isinstance(entry, InputRule):
+            out = []
+            for v, a in zip(entry.head, entry.aggrs):
+                out.append(f"{a.name}({v})" if a is not None else v)
+            return out
+        if isinstance(entry, (ConstRule, FixedRuleApply)):
+            if entry.head:
+                return list(entry.head)
+        return []
+
+    @staticmethod
+    def _apply_sorters(rows, headers, sorters):
+        idx = []
+        for var, desc in sorters:
+            if var not in headers:
+                raise QueryError(f"Sort key '{var}' not found")
+            idx.append((headers.index(var), desc))
+
+        def cmp(a, b):
+            for i, desc in idx:
+                ka, kb = cmp_key(a[i]), cmp_key(b[i])
+                if ka < kb:
+                    return 1 if desc else -1
+                if ka > kb:
+                    return -1 if desc else 1
+            return 0
+
+        return sorted(rows, key=functools.cmp_to_key(cmp))
+
+    # ----------------------------------------------------------- index search
+
+    def _compile_search(self, atom, binding_map, ctx):
+        handle = ctx.tx.get_relation(atom.rel)
+        meta = handle.indices.get(atom.idx)
+        if meta is None:
+            raise QueryError(
+                f"index '{atom.idx}' not found on relation '{atom.rel}'"
+            )
+        kind = meta["kind"]
+        if kind == "hnsw":
+            from .hnsw import compile_hnsw_search
+
+            return compile_hnsw_search(self, atom, binding_map, ctx, handle, meta)
+        if kind == "fts":
+            from ..fts.indexing import compile_fts_search
+
+            return compile_fts_search(self, atom, binding_map, ctx, handle, meta)
+        if kind == "lsh":
+            from .minhash_lsh import compile_lsh_search
+
+            return compile_lsh_search(self, atom, binding_map, ctx, handle, meta)
+        raise QueryError(f"index '{atom.idx}' of kind {kind} cannot be searched")
+
+    # ------------------------------------------------------------- imperative
+
+    def _execute_imperative(
+        self, script: A.ImperativeScript, cur_vld: int, immutable: bool
+    ) -> NamedRows:
+        from .imperative import execute_imperative
+
+        return execute_imperative(self, script, cur_vld, immutable)
+
+    # ----------------------------------------------------------------- sys ops
+
+    def run_sys_op(self, op: A.SysOp, immutable: bool = False) -> NamedRows:
+        from . import sysops
+
+        return sysops.run_sys_op(self, op, immutable)
+
+    # --------------------------------------------------------- export / import
+
+    def export_relations(self, relations: List[str]) -> Dict[str, dict]:
+        cur_vld = current_validity_ts()
+        tx = self._new_session(False, cur_vld)
+        try:
+            out = {}
+            for name in relations:
+                handle = tx.get_relation(name)
+                handle.ensure_can_read()
+                rows = [
+                    [to_json(v) for v in r]
+                    for r in handle.scan_all(tx.store_tx_for(handle))
+                ]
+                out[name] = {"headers": handle.col_names(), "rows": rows}
+            return out
+        finally:
+            tx.abort()
+
+    def import_relations(self, data: Dict[str, dict]) -> None:
+        from ..data.value import from_json
+
+        cur_vld = current_validity_ts()
+        tx = self._new_session(True, cur_vld)
+        try:
+            for name, content in data.items():
+                handle = tx.get_relation(name, for_update=True)
+                if ACCESS_LEVELS[handle.access_level] < ACCESS_LEVELS["protected"]:
+                    raise StoredRelationError(
+                        f"cannot import into relation '{name}' with access level "
+                        f"{handle.access_level}"
+                    )
+                headers = content.get("headers") or handle.col_names()
+                store_tx = tx.store_tx_for(handle)
+                cols = handle.col_names()
+                pos = []
+                for c in cols:
+                    if c not in headers:
+                        raise QueryError(
+                            f"required column '{c}' not found in import data"
+                        )
+                    pos.append(headers.index(c))
+                from ..runtime.indexing import update_indexes_on_put
+
+                for row_json in content["rows"]:
+                    row = [from_json(row_json[p]) for p in pos]
+                    row = handle.coerce_row(row)
+                    if handle.indices:
+                        old = handle.get_row(
+                            store_tx, row[: len(handle.keys)]
+                        )
+                        update_indexes_on_put(self, tx, handle, row, old)
+                    store_tx.put(
+                        handle.encode_row_key(row), handle.encode_row_val(row)
+                    )
+            tx.commit()
+        except BaseException:
+            tx.abort()
+            raise
+
+    # ---------------------------------------------------------- backup/restore
+
+    def backup_db(self, path: str) -> None:
+        """Stream the full KV range into a fresh SQLite file
+        (reference `runtime/db.rs:644-658`)."""
+        from ..storage.sqlite import SqliteStorage
+
+        out = SqliteStorage(path)
+        try:
+            tx = self.storage.transact(write=False)
+            out.batch_put(tx.total_scan())
+            tx.abort()
+        finally:
+            out.close()
+
+    def restore_backup(self, path: str) -> None:
+        tx = self.storage.transact(write=False)
+        has_data = False
+        for _ in tx.range_scan(rel_prefix(1), rel_upper(1)):
+            has_data = True
+            break
+        tx.abort()
+        if has_data:
+            raise CozoError("cannot restore into a non-empty database")
+        from ..storage.sqlite import SqliteStorage
+
+        src = SqliteStorage(path)
+        try:
+            stx = src.transact(write=False)
+            self.storage.batch_put(stx.total_scan())
+            stx.abort()
+        finally:
+            src.close()
+
+    def import_from_backup(self, path: str, relations: List[str]) -> None:
+        """Copy selected relations from a backup, rewriting key prefixes
+        (reference `db.rs:695-758`; refuses relations with indexes)."""
+        from ..storage.sqlite import SqliteStorage
+
+        src = SqliteStorage(path)
+        cur_vld = current_validity_ts()
+        tx = self._new_session(True, cur_vld)
+        try:
+            stx = src.transact(write=False)
+            for name in relations:
+                src_handle = Catalog.get(stx, name)
+                if src_handle is None:
+                    raise QueryError(f"relation '{name}' not found in backup")
+                dst_handle = tx.get_relation(name, for_update=True)
+                if dst_handle.indices:
+                    raise QueryError(
+                        f"cannot import into relation '{name}' with indices"
+                    )
+                store_tx = tx.store_tx_for(dst_handle)
+                src_pre, dst_pre = rel_prefix(src_handle.id), rel_prefix(dst_handle.id)
+                for k, v in stx.range_scan(src_pre, rel_upper(src_handle.id)):
+                    store_tx.put(dst_pre + k[8:], v)
+            tx.commit()
+        except BaseException:
+            tx.abort()
+            raise
+        finally:
+            src.close()
+
+    # ------------------------------------------------------------------- multi
+
+    def multi_transaction(self, write: bool = True) -> "MultiTransaction":
+        return MultiTransaction(self, write)
+
+
+class MultiTransaction:
+    """Explicit multi-statement transaction (reference `lib.rs:587`)."""
+
+    def __init__(self, db: Db, write: bool) -> None:
+        self.db = db
+        self.cur_vld = current_validity_ts()
+        self.tx = db._new_session(write, self.cur_vld)
+        self.write = write
+        self._collector: Dict[str, list] = {}
+
+    def run_script(self, payload: str, params: Optional[dict] = None) -> NamedRows:
+        script = parse_script(payload, params or {})
+        if isinstance(script, A.SysScript):
+            raise QueryError("system scripts are not allowed in multi-transactions")
+        if isinstance(script, A.ImperativeScript):
+            raise QueryError("imperative scripts are not allowed in multi-transactions")
+        return self.db._run_query_program(
+            self.tx,
+            script.prog,
+            self.cur_vld,
+            self.db._callback_targets(),
+            self._collector,
+            True,
+        )
+
+    def commit(self) -> None:
+        self.tx.commit()
+        self.db._send_callbacks(self._collector)
+
+    def abort(self) -> None:
+        self.tx.abort()

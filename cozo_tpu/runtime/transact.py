@@ -1,0 +1,78 @@
+"""SessionTx — the spine threading storage, temp storage and catalog cache
+through every layer (reference `runtime/transact.rs:24-30`)."""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional
+
+from ..storage.base import Storage, StoreTx
+from ..utils.errors import QueryError
+from .relation import Catalog, RelationHandle
+
+
+class SessionTx:
+    def __init__(
+        self,
+        store_tx: StoreTx,
+        temp_store: Storage,
+        cur_vld: int,
+    ) -> None:
+        self.store_tx = store_tx
+        self.temp_store = temp_store
+        self.temp_tx = temp_store.transact(write=True)
+        self.cur_vld = cur_vld
+        self._rel_cache: Dict[str, RelationHandle] = {}
+
+    # --- relations ------------------------------------------------------------
+
+    def get_relation(self, name: str, for_update: bool = False) -> RelationHandle:
+        cached = self._rel_cache.get(name)
+        if cached is not None and not for_update:
+            return cached
+        tx = self.temp_tx if name.startswith("_") else self.store_tx
+        h = Catalog.get(tx, name)
+        if h is None:
+            raise QueryError(
+                f"stored relation '{name}' not found", code="query::relation_not_found"
+            )
+        h.is_temp = name.startswith("_")
+        self._rel_cache[name] = h
+        return h
+
+    def relation_exists(self, name: str) -> bool:
+        tx = self.temp_tx if name.startswith("_") else self.store_tx
+        return Catalog.get(tx, name) is not None
+
+    def put_relation_meta(self, handle: RelationHandle) -> None:
+        tx = self.temp_tx if handle.name.startswith("_") else self.store_tx
+        Catalog.put(tx, handle)
+        self._rel_cache[handle.name] = handle
+
+    def delete_relation_meta(self, name: str) -> None:
+        tx = self.temp_tx if name.startswith("_") else self.store_tx
+        Catalog.delete(tx, name)
+        self._rel_cache.pop(name, None)
+
+    def alloc_rel_id(self, temp: bool) -> int:
+        tx = self.temp_tx if temp else self.store_tx
+        Catalog.init_storage(tx)
+        return Catalog.alloc_rel_id(tx)
+
+    def store_tx_for(self, handle: RelationHandle) -> StoreTx:
+        return self.temp_tx if handle.is_temp else self.store_tx
+
+    def invalidate_cache(self, name: Optional[str] = None) -> None:
+        if name is None:
+            self._rel_cache.clear()
+        else:
+            self._rel_cache.pop(name, None)
+
+    # --- lifecycle --------------------------------------------------------------
+
+    def commit(self) -> None:
+        self.store_tx.commit()
+        self.temp_tx.commit()
+
+    def abort(self) -> None:
+        self.store_tx.abort()
+        self.temp_tx.abort()
