@@ -172,8 +172,11 @@ def test_parse_const_rule():
 def test_parse_fixed_rule():
     s = parse_script("?[x, y] <~ PageRank(*route[a, b], theta: 0.85)")
     r = s.prog.rules["?"][0]
+    from cozo_tpu.data.expr import Const
+
     assert r.fixed_name == "PageRank"
-    assert r.options["theta"] == 0.85
+    assert isinstance(r.options["theta"], Const)
+    assert r.options["theta"].val == 0.85
 
 
 def test_parse_sys():
