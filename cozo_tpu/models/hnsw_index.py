@@ -1,0 +1,406 @@
+"""Device-resident HNSW index model.
+
+TPU-first redesign of the reference's KV-pointer-chasing HNSW
+(`cozo-core/src/runtime/hnsw.rs`): the hierarchy of proximity graphs is
+held as *padded neighbor arrays* per level (`[n_l, m_max]` int32, -1
+padded), with vectors in one dense `[n, dim]` matrix.  Construction
+follows the reference algorithm (random geometric levels
+`hnsw.rs:46-52`, greedy descent + ef_construction beam + the
+neighbor-selection heuristic with extend_candidates /
+keep_pruned_connections `hnsw.rs:470-537`, bidirectional links with
+neighbor shrinking `hnsw.rs:376-469`), but all distance evaluations are
+batched matrix ops instead of per-edge KV gets.
+
+Search is *batched*: a whole batch of queries descends the hierarchy
+together — greedy (ef=1) on upper levels, masked beam search at level 0.
+The numpy path (exact visited-set semantics) serves small/medium
+indexes; `cozo_tpu.ops.vector_search` runs the same algorithm on TPU for
+large ones.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+DIST_L2 = "L2"
+DIST_IP = "IP"
+DIST_COSINE = "Cosine"
+
+
+class HnswIndex:
+    def __init__(
+        self,
+        dim: int,
+        m: int = 16,
+        ef_construction: int = 200,
+        distance: str = DIST_L2,
+        dtype=np.float32,
+        extend_candidates: bool = False,
+        keep_pruned_connections: bool = False,
+        seed: int = 42,
+    ) -> None:
+        self.dim = dim
+        self.m = m
+        self.m_max = m
+        self.m_max0 = 2 * m
+        self.ef_construction = ef_construction
+        self.distance = distance
+        self.dtype = np.dtype(dtype)
+        self.extend_candidates = extend_candidates
+        self.keep_pruned_connections = keep_pruned_connections
+        self.rng = random.Random(seed)
+        self.level_mult = 1.0 / math.log(m)
+
+        cap = 1024
+        self.vectors = np.zeros((cap, dim), dtype=self.dtype)
+        self.norms = np.zeros(cap, dtype=np.float64)  # squared norms
+        self.levels = np.full(cap, -1, dtype=np.int32)  # -1 = unused slot
+        self.alive = np.zeros(cap, dtype=bool)
+        self.n = 0
+        # per level: [cap, m_max(l)] neighbor slots, -1 padded
+        self.neighbors: List[np.ndarray] = [
+            np.full((cap, self.m_max0), -1, dtype=np.int32)
+        ]
+        self.entry: int = -1  # slot of entry point (highest level)
+        self.version = 0
+        self._free: List[int] = []
+        # slots whose adjacency changed since last KV sync
+        self.dirty: set = set()
+
+    # ------------------------------------------------------------------ sizing
+
+    def __len__(self) -> int:
+        return self.n
+
+    def _grow(self, need: int) -> None:
+        cap = self.vectors.shape[0]
+        if need <= cap:
+            return
+        new_cap = max(cap * 2, need)
+        self.vectors = np.resize(self.vectors, (new_cap, self.dim))
+        self.norms = np.resize(self.norms, new_cap)
+        new_levels = np.full(new_cap, -1, dtype=np.int32)
+        new_levels[:cap] = self.levels
+        self.levels = new_levels
+        new_alive = np.zeros(new_cap, dtype=bool)
+        new_alive[:cap] = self.alive
+        self.alive = new_alive
+        for l, nb in enumerate(self.neighbors):
+            grown = np.full((new_cap, nb.shape[1]), -1, dtype=np.int32)
+            grown[:cap] = nb
+            self.neighbors[l] = grown
+
+    def _ensure_level(self, level: int) -> None:
+        cap = self.vectors.shape[0]
+        while len(self.neighbors) <= level:
+            self.neighbors.append(np.full((cap, self.m_max), -1, dtype=np.int32))
+
+    def random_level(self) -> int:
+        # reference hnsw.rs:46-52 (negated: here 0 is the bottom)
+        u = self.rng.random()
+        while u <= 0.0:
+            u = self.rng.random()
+        return int(-math.log(u) * self.level_mult)
+
+    # --------------------------------------------------------------- distances
+
+    def _prep(self, v: np.ndarray) -> np.ndarray:
+        v = np.asarray(v, dtype=self.dtype).reshape(-1)
+        if v.shape[0] != self.dim:
+            raise ValueError(f"vector dim {v.shape[0]} != index dim {self.dim}")
+        return v
+
+    def dists_to(self, q: np.ndarray, slots: np.ndarray) -> np.ndarray:
+        """Distances from one query to many stored slots (vectorized)."""
+        vs = self.vectors[slots].astype(np.float64)
+        qd = q.astype(np.float64)
+        if self.distance == DIST_L2:
+            d = vs - qd
+            return np.einsum("ij,ij->i", d, d)
+        dots = vs @ qd
+        if self.distance == DIST_IP:
+            return 1.0 - dots
+        qn = float(qd @ qd)
+        denom = np.sqrt(self.norms[slots] * qn)
+        denom = np.where(denom > 0, denom, 1.0)
+        return 1.0 - dots / denom
+
+    def dists_batch(self, qs: np.ndarray, slots: np.ndarray) -> np.ndarray:
+        """qs [B, d]; slots [B, K] → [B, K] distances (invalid slots = +inf)."""
+        valid = slots >= 0
+        safe = np.where(valid, slots, 0)
+        vs = self.vectors[safe].astype(np.float64)  # [B, K, d]
+        qd = qs.astype(np.float64)  # [B, d]
+        if self.distance == DIST_L2:
+            d = vs - qd[:, None, :]
+            out = np.einsum("bkd,bkd->bk", d, d)
+        else:
+            dots = np.einsum("bkd,bd->bk", vs, qd)
+            if self.distance == DIST_IP:
+                out = 1.0 - dots
+            else:
+                qn = np.einsum("bd,bd->b", qd, qd)
+                denom = np.sqrt(self.norms[safe] * qn[:, None])
+                denom = np.where(denom > 0, denom, 1.0)
+                out = 1.0 - dots / denom
+        return np.where(valid, out, np.inf)
+
+    # ----------------------------------------------------------------- insert
+
+    def insert(self, vec, level: Optional[int] = None) -> int:
+        """Insert one vector; returns its slot id."""
+        v = self._prep(vec)
+        if level is None:
+            level = self.random_level()
+        if self._free:
+            slot = self._free.pop()
+        else:
+            slot = self.n
+            self._grow(slot + 1)
+        self.n = max(self.n, slot + 1)
+        self.vectors[slot] = v
+        self.norms[slot] = float(v.astype(np.float64) @ v.astype(np.float64))
+        self.levels[slot] = level
+        self.alive[slot] = True
+        self.dirty.add(slot)
+        self._ensure_level(level)
+        for l in range(level + 1):
+            self.neighbors[l][slot, :] = -1
+        self.version += 1
+
+        if self.entry < 0:
+            self.entry = slot
+            return slot
+
+        q = v
+        ep = self.entry
+        top = int(self.levels[self.entry])
+        # greedy descent above the node's level
+        for l in range(top, level, -1):
+            ep = self._greedy_search(q, ep, l)
+        # beam insert at each level
+        for l in range(min(level, top), -1, -1):
+            cands = self._beam_search(q, [ep], l, self.ef_construction)
+            selected = self._select_neighbors(q, cands, l)
+            mmax = self.m_max0 if l == 0 else self.m_max
+            self._set_neighbors(l, slot, selected[: mmax])
+            for nb in selected[: mmax]:
+                self._add_link(l, nb, slot)
+            if cands:
+                ep = cands[0][1]
+        if level > top:
+            self.entry = slot
+        return slot
+
+    def _greedy_search(self, q: np.ndarray, ep: int, level: int) -> int:
+        nb = self.neighbors[level]
+        cur = ep
+        cur_d = float(self.dists_to(q, np.array([cur]))[0])
+        while True:
+            ns = nb[cur]
+            ns = ns[ns >= 0]
+            if len(ns) == 0:
+                return cur
+            ds = self.dists_to(q, ns)
+            i = int(np.argmin(ds))
+            if ds[i] < cur_d:
+                cur = int(ns[i])
+                cur_d = float(ds[i])
+            else:
+                return cur
+
+    def _beam_search(
+        self, q: np.ndarray, eps: List[int], level: int, ef: int
+    ) -> List[Tuple[float, int]]:
+        """Single-query beam search; returns sorted (dist, slot) candidates."""
+        import heapq
+
+        nb = self.neighbors[level]
+        visited = set(eps)
+        d0 = self.dists_to(q, np.array(eps))
+        cand = [(float(d), e) for d, e in zip(d0, eps)]
+        heapq.heapify(cand)
+        result = [(-float(d), e) for d, e in zip(d0, eps) if self.alive[e]]
+        if not result:
+            result = [(-float(d), e) for d, e in zip(d0, eps)]
+        heapq.heapify(result)
+        while cand:
+            d, c = heapq.heappop(cand)
+            if result and d > -result[0][0] and len(result) >= ef:
+                break
+            ns = nb[c]
+            ns = ns[ns >= 0]
+            new = [int(x) for x in ns if int(x) not in visited]
+            if not new:
+                continue
+            visited.update(new)
+            ds = self.dists_to(q, np.array(new))
+            worst = -result[0][0] if result else np.inf
+            for nd, nn in zip(ds, new):
+                nd = float(nd)
+                if len(result) < ef or nd < worst:
+                    heapq.heappush(cand, (nd, nn))
+                    heapq.heappush(result, (-nd, nn))
+                    if len(result) > ef:
+                        heapq.heappop(result)
+                    worst = -result[0][0]
+        out = sorted((-d, s) for d, s in result)
+        return out
+
+    def _select_neighbors(
+        self, q: np.ndarray, cands: List[Tuple[float, int]], level: int
+    ) -> List[int]:
+        """Reference neighbor-selection heuristic (`hnsw.rs:470-537`)."""
+        mmax = self.m_max0 if level == 0 else self.m_max
+        pool = list(cands)
+        if self.extend_candidates:
+            seen = {s for _, s in pool}
+            nb = self.neighbors[level]
+            extra = set()
+            for _, s in cands:
+                for x in nb[s]:
+                    if x >= 0 and int(x) not in seen:
+                        extra.add(int(x))
+            if extra:
+                extra = list(extra)
+                ds = self.dists_to(q, np.array(extra))
+                pool.extend((float(d), s) for d, s in zip(ds, extra))
+            pool.sort()
+        selected: List[int] = []
+        pruned: List[Tuple[float, int]] = []
+        for d, c in pool:
+            if not self.alive[c]:
+                continue
+            if len(selected) >= mmax:
+                break
+            # keep c iff it is closer to q than to any already-selected
+            ok = True
+            if selected:
+                dc = self.dists_to(self.vectors[c], np.array(selected))
+                if np.any(dc < d):
+                    ok = False
+            if ok:
+                selected.append(int(c))
+            else:
+                pruned.append((d, int(c)))
+        if self.keep_pruned_connections:
+            for d, c in pruned:
+                if len(selected) >= mmax:
+                    break
+                selected.append(c)
+        return selected
+
+    def _set_neighbors(self, level: int, slot: int, neighbors: List[int]) -> None:
+        mmax = self.m_max0 if level == 0 else self.m_max
+        self.dirty.add(slot)
+        row = self.neighbors[level][slot]
+        row[:] = -1
+        row[: min(len(neighbors), mmax)] = neighbors[:mmax]
+
+    def _add_link(self, level: int, frm: int, to: int) -> None:
+        mmax = self.m_max0 if level == 0 else self.m_max
+        self.dirty.add(frm)
+        row = self.neighbors[level][frm]
+        for i in range(mmax):
+            if row[i] == to:
+                return
+            if row[i] < 0:
+                row[i] = to
+                return
+        # overfull: shrink via the selection heuristic
+        existing = [int(x) for x in row if x >= 0] + [to]
+        q = self.vectors[frm]
+        ds = self.dists_to(q, np.array(existing))
+        cands = sorted(zip(ds.tolist(), existing))
+        selected = self._select_neighbors(q, cands, level)
+        self._set_neighbors(level, frm, selected)
+
+    # ----------------------------------------------------------------- remove
+
+    def remove(self, slot: int) -> None:
+        """Unlink + entry repair (reference `hnsw.rs:754-867`)."""
+        if slot < 0 or not self.alive[slot]:
+            return
+        self.alive[slot] = False
+        self.dirty.add(slot)
+        level = int(self.levels[slot])
+        for l in range(min(level, len(self.neighbors) - 1) + 1):
+            nb = self.neighbors[l]
+            # remove in-links from this node's neighbors (cheap local pass)
+            for x in nb[slot]:
+                if x >= 0:
+                    row = nb[int(x)]
+                    row[row == slot] = -1
+                    self.dirty.add(int(x))
+            nb[slot, :] = -1
+        self.levels[slot] = -1
+        self._free.append(slot)
+        self.version += 1
+        if self.entry == slot:
+            # entry repair: highest-level alive node
+            alive_idx = np.nonzero(self.alive[: self.n])[0]
+            if len(alive_idx) == 0:
+                self.entry = -1
+            else:
+                self.entry = int(alive_idx[np.argmax(self.levels[alive_idx])])
+
+    # ----------------------------------------------------------------- search
+
+    def search(
+        self,
+        queries: np.ndarray,
+        k: int,
+        ef: int,
+        use_tpu: Optional[bool] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Batched k-NN; queries [B, d] → (slots [B, k], dists [B, k]);
+        missing results padded with -1/inf."""
+        qs = np.asarray(queries, dtype=self.dtype)
+        if qs.ndim == 1:
+            qs = qs[None, :]
+        B = qs.shape[0]
+        if self.entry < 0:
+            return (
+                np.full((B, k), -1, dtype=np.int64),
+                np.full((B, k), np.inf),
+            )
+        if use_tpu is None:
+            use_tpu = self.n >= 20_000 and B >= 4
+        if use_tpu:
+            try:
+                from ..ops.vector_search import hnsw_search_device
+
+                return hnsw_search_device(self, qs, k, ef)
+            except Exception:  # pragma: no cover — device fallback
+                pass
+        out_ids = np.full((B, k), -1, dtype=np.int64)
+        out_d = np.full((B, k), np.inf)
+        top = int(self.levels[self.entry])
+        for b in range(B):
+            q = qs[b]
+            ep = self.entry
+            for l in range(top, 0, -1):
+                ep = self._greedy_search(q, ep, l)
+            res = self._beam_search(q, [ep], 0, max(ef, k))
+            res = [(d, s) for d, s in res if self.alive[s]][:k]
+            for i, (d, s) in enumerate(res):
+                out_ids[b, i] = s
+                out_d[b, i] = d
+        return out_ids, out_d
+
+    # ------------------------------------------------------------ bulk build
+
+    def bulk_build(self, vectors: np.ndarray, wave: int = 0) -> List[int]:
+        """Build from scratch; returns slot ids in input order.
+
+        Sequential reference-faithful inserts; the wave-batched device
+        path lives in ops.vector_search.bulk_build_device and is used by
+        the runtime layer when beneficial."""
+        slots = []
+        for v in np.asarray(vectors, dtype=self.dtype):
+            slots.append(self.insert(v))
+        return slots

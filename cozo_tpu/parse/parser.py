@@ -508,6 +508,10 @@ class Parser:
     def parse_relation_apply(self) -> RelationApplyAtom:
         self.expect_punct("*")
         name = self.expect_name("relation name").text
+        # compound_or_index_ident: `rel:idx` addresses an index relation
+        while self.at_punct(":") and self.peek(1).kind == NAME and self.adjacent():
+            self.next()
+            name += ":" + self.expect_name("index name").text
         if self.at_punct("["):
             self.next()
             args = []

@@ -238,7 +238,12 @@ def atom_bind_vars(atom) -> Set[str]:
             return {a for a in atom.args if isinstance(a, str)}
         return {a for _, a in atom.pairs if isinstance(a, str)}
     if isinstance(atom, SearchApplyAtom):
-        return {a for _, a in atom.pairs if isinstance(a, str)}
+        out = {a for _, a in atom.pairs if isinstance(a, str)}
+        # bind_* options are OUTPUTS of the search, not inputs
+        for name, e in atom.opts.items():
+            if name.startswith("bind_") and isinstance(e, Binding):
+                out.add(e.var)
+        return out
     if isinstance(atom, UnificationAtom):
         return {atom.var}
     return set()
@@ -256,8 +261,11 @@ def atom_req_vars(atom) -> Set[str]:
     if isinstance(atom, NegationAtom):
         return atom_bind_vars(atom.inner)
     if isinstance(atom, SearchApplyAtom):
-        for e in atom.opts.values():
-            e.bindings(out)
+        # `filter` is evaluated against candidate rows inside the search;
+        # bind_* are outputs — neither constrains ordering
+        for name, e in atom.opts.items():
+            if not name.startswith("bind_") and name != "filter":
+                e.bindings(out)
         return out
     return out
 

@@ -245,6 +245,8 @@ class Db:
             return res
         except BaseException:
             tx.abort()
+            # index caches may have been mutated inside the aborted tx
+            self.algo_cache.clear()
             raise
         finally:
             self._unregister_running(qid)
@@ -583,3 +585,4 @@ class MultiTransaction:
 
     def abort(self) -> None:
         self.tx.abort()
+        self.db.algo_cache.clear()

@@ -1,0 +1,491 @@
+"""HNSW index runtime: DDL + maintenance + the search step.
+
+The device-resident `HnswIndex` (models/hnsw_index.py) is the canonical
+structure; this module keeps the durable KV image row-for-row queryable
+like the reference's (`runtime/hnsw.rs` — index relation keyed
+`(layer, fr..., fr_field, to..., to_field) => dist`, with self-edges
+marking node membership and layers stored as integers ≤ 0, 0 = bottom).
+Caches are invalidated on transaction abort (db.algo_cache cleared), so
+a rebuilt image is always consistent with committed KV state."""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..data.expr import Binding, Const, Expr
+from ..data.value import Vector, cmp_key
+from ..models.hnsw_index import HnswIndex
+from ..parse import ast as A
+from ..utils.errors import IndexError_, QueryError
+from .relation import ColumnDef, RelationHandle, parse_col_type_str
+
+_DTYPES = {"F32": np.float32, "F64": np.float64}
+
+
+# --------------------------------------------------------------------- cache
+
+
+class HnswCache:
+    def __init__(self, index: HnswIndex, manifest: dict) -> None:
+        self.index = index
+        self.manifest = manifest
+        self.key_to_slot: Dict[tuple, int] = {}
+        self.slot_to_item: Dict[int, Tuple[list, int]] = {}
+
+    def item_key(self, key_vals: list, field_idx: int) -> tuple:
+        return (tuple(cmp_key(v) for v in key_vals), field_idx)
+
+
+def _cache_key(rel: str, idx: str) -> str:
+    return f"hnsw::{rel}::{idx}"
+
+
+def get_hnsw_cache(db, tx, handle: RelationHandle, idx_name: str, meta: dict) -> HnswCache:
+    ck = _cache_key(handle.name, idx_name)
+    cache = db.algo_cache.get(ck)
+    if cache is not None:
+        return cache
+    cache = _rebuild_cache(db, tx, handle, idx_name, meta)
+    db.algo_cache[ck] = cache
+    return cache
+
+
+def _new_index(manifest: dict) -> HnswIndex:
+    return HnswIndex(
+        dim=manifest["dim"],
+        m=manifest["m_neighbours"],
+        ef_construction=manifest["ef_construction"],
+        distance=manifest["distance"],
+        dtype=_DTYPES[manifest["dtype"]],
+        extend_candidates=manifest["extend_candidates"],
+        keep_pruned_connections=manifest["keep_pruned_connections"],
+    )
+
+
+def _rebuild_cache(db, tx, handle, idx_name, meta) -> HnswCache:
+    """Rebuild the in-memory index from the KV image."""
+    manifest = meta["config"]
+    cache = HnswCache(_new_index(manifest), manifest)
+    idx_handle = tx.get_relation(f"{handle.name}:{idx_name}")
+    store_tx = tx.store_tx_for(idx_handle)
+    nk = len(handle.keys)
+    index = cache.index
+
+    # pass 1: nodes from self-edges; vectors fetched from base rows
+    nodes: Dict[tuple, dict] = {}
+    edges: List[tuple] = []
+    for row in idx_handle.scan_all(store_tx):
+        layer = -int(row[0])  # stored ≤ 0; 0 = bottom
+        fr_key = row[1 : 1 + nk]
+        fr_field = row[1 + nk]
+        to_key = row[2 + nk : 2 + 2 * nk]
+        to_field = row[2 + 2 * nk]
+        fr = cache.item_key(fr_key, fr_field)
+        to = cache.item_key(to_key, to_field)
+        if fr == to:
+            ent = nodes.setdefault(fr, {"key": fr_key, "field": fr_field, "lvl": 0})
+            ent["lvl"] = max(ent["lvl"], layer)
+        else:
+            edges.append((layer, fr, to))
+    # allocate slots
+    fields = manifest["fields"]
+    for ik, ent in nodes.items():
+        base_row = handle.get_row(tx.store_tx_for(handle), ent["key"])
+        if base_row is None:
+            continue
+        vec = base_row[handle.col_index(fields[ent["field"]])]
+        if not isinstance(vec, Vector):
+            continue
+        slot = index._alloc_slot(vec.a, ent["lvl"])
+        cache.key_to_slot[ik] = slot
+        cache.slot_to_item[slot] = (ent["key"], ent["field"])
+    # adjacency
+    for layer, fr, to in edges:
+        s1 = cache.key_to_slot.get(fr)
+        s2 = cache.key_to_slot.get(to)
+        if s1 is None or s2 is None:
+            continue
+        index._append_neighbor(layer, s1, s2)
+    # entry = highest level
+    if cache.key_to_slot:
+        slots = np.fromiter(cache.key_to_slot.values(), dtype=np.int64)
+        index.entry = int(slots[np.argmax(index.levels[slots])])
+    index.dirty.clear()
+    return cache
+
+
+# raw-slot helpers used only by cache rebuild
+def _alloc_slot(self, v, level):
+    v = self._prep(v)
+    slot = self.n
+    self._grow(slot + 1)
+    self.n = slot + 1
+    self.vectors[slot] = v
+    self.norms[slot] = float(v.astype(np.float64) @ v.astype(np.float64))
+    self.levels[slot] = level
+    self.alive[slot] = True
+    self._ensure_level(level)
+    self.version += 1
+    return slot
+
+
+def _append_neighbor(self, level, frm, to):
+    self._ensure_level(level)
+    row = self.neighbors[level][frm]
+    for i in range(row.shape[0]):
+        if row[i] == to:
+            return
+        if row[i] < 0:
+            row[i] = to
+            return
+
+
+HnswIndex._alloc_slot = _alloc_slot
+HnswIndex._append_neighbor = _append_neighbor
+
+
+# ----------------------------------------------------------------------- DDL
+
+
+def create_hnsw_index(db, cfg: A.HnswIndexConfig):
+    from .db import NamedRows
+    from ..data.functions import current_validity_ts
+
+    tx = db._new_session(True, current_validity_ts())
+    try:
+        handle = tx.get_relation(cfg.base_relation, for_update=True)
+        if cfg.index_name in handle.indices:
+            raise IndexError_(
+                f"index '{cfg.index_name}' already exists on "
+                f"'{cfg.base_relation}'"
+            )
+        for f in cfg.fields:
+            ci = handle.col_index(f)
+            col = (handle.keys + handle.values)[ci]
+            if col.typing is not None and col.typing.kind == "Vec":
+                if cfg.dim == 0:
+                    cfg.dim = col.typing.length
+        if cfg.dim <= 0:
+            raise IndexError_("hnsw index requires 'dim'")
+        idx_id = tx.alloc_rel_id(temp=handle.is_temp)
+        # index relation schema: layer + fr keys + fr_field + to keys + to_field => dist
+        idx_keys = [ColumnDef("layer", parse_col_type_str("Int"), None)]
+        for kc in handle.keys:
+            idx_keys.append(ColumnDef(f"fr_{kc.name}", kc.typing, None))
+        idx_keys.append(ColumnDef("fr_field", parse_col_type_str("Int"), None))
+        for kc in handle.keys:
+            idx_keys.append(ColumnDef(f"to_{kc.name}", kc.typing, None))
+        idx_keys.append(ColumnDef("to_field", parse_col_type_str("Int"), None))
+        idx_handle = RelationHandle(
+            id=idx_id,
+            name=f"{cfg.base_relation}:{cfg.index_name}",
+            keys=idx_keys,
+            values=[ColumnDef("dist", parse_col_type_str("Float"), None)],
+            is_temp=handle.is_temp,
+        )
+        tx.put_relation_meta(idx_handle)
+        manifest = {
+            "dim": cfg.dim,
+            "dtype": cfg.dtype,
+            "fields": cfg.fields,
+            "distance": cfg.distance,
+            "ef_construction": cfg.ef_construction,
+            "m_neighbours": cfg.m_neighbours,
+            "m_max": cfg.m_neighbours,
+            "m_max0": 2 * cfg.m_neighbours,
+            "index_filter": cfg.index_filter,
+            "extend_candidates": cfg.extend_candidates,
+            "keep_pruned_connections": cfg.keep_pruned_connections,
+        }
+        meta = {"kind": "hnsw", "rel_ids": [idx_id], "config": manifest}
+        handle.indices[cfg.index_name] = meta
+        tx.put_relation_meta(handle)
+
+        # back-fill: bulk build over existing rows
+        cache = HnswCache(_new_index(manifest), manifest)
+        store_tx = tx.store_tx_for(handle)
+        filt = _compile_filter(manifest, handle)
+        nk = len(handle.keys)
+        for row in handle.scan_all(store_tx):
+            if filt is not None and filt.eval(row) is not True:
+                continue
+            for fi, fname in enumerate(cfg.fields):
+                vec = row[handle.col_index(fname)]
+                if vec is None:
+                    continue
+                if not isinstance(vec, Vector):
+                    raise IndexError_(
+                        f"column '{fname}' of '{cfg.base_relation}' is not a vector"
+                    )
+                _insert_item(cache, row[:nk], fi, vec)
+        _sync_dirty_to_kv(cache, tx, handle, idx_handle)
+        tx.commit()
+        db.algo_cache[_cache_key(cfg.base_relation, cfg.index_name)] = cache
+        return NamedRows.ok()
+    except BaseException:
+        tx.abort()
+        db.algo_cache.clear()
+        raise
+
+
+def _compile_filter(manifest: dict, handle: RelationHandle):
+    src = manifest.get("index_filter")
+    if not src:
+        return None
+    from ..parse.parser import parse_expressions
+
+    expr = parse_expressions(src)
+    bmap = {name: i for i, name in enumerate(handle.col_names())}
+    expr.fill_binding_indices(bmap)
+    return expr
+
+
+def _insert_item(cache: HnswCache, key_vals: list, field_idx: int, vec: Vector) -> int:
+    ik = cache.item_key(key_vals, field_idx)
+    old = cache.key_to_slot.get(ik)
+    if old is not None:
+        cache.index.remove(old)
+        cache.slot_to_item.pop(old, None)
+    slot = cache.index.insert(vec.a)
+    cache.key_to_slot[ik] = slot
+    cache.slot_to_item[slot] = (list(key_vals), field_idx)
+    return slot
+
+
+def _remove_item(cache: HnswCache, key_vals: list, field_idx: int) -> Optional[int]:
+    ik = cache.item_key(key_vals, field_idx)
+    slot = cache.key_to_slot.pop(ik, None)
+    if slot is not None:
+        cache.index.remove(slot)
+        cache.slot_to_item.pop(slot, None)
+    return slot
+
+
+def _sync_dirty_to_kv(cache: HnswCache, tx, handle, idx_handle) -> None:
+    """Write adjacency of dirty slots to the KV image."""
+    index = cache.index
+    store_tx = tx.store_tx_for(idx_handle)
+    for slot in sorted(index.dirty):
+        item = cache.slot_to_item.get(slot)
+        if item is None:
+            # removed node: clear any leftover rows cheaply by full level scans
+            continue
+        key_vals, field = item
+        max_lvl = int(index.levels[slot]) if index.alive[slot] else -1
+        for lvl in range(len(index.neighbors)):
+            # delete old rows for this fr at this level
+            prefix = [-lvl] + list(key_vals) + [field]
+            lower = idx_handle.encode_row_key(prefix)
+            upper = lower + b"\xff" * 9
+            for k, _ in list(store_tx.range_scan(lower, upper)):
+                store_tx.delete(k)
+            if not index.alive[slot] or lvl > max_lvl:
+                continue
+            # self-edge marks membership
+            self_row = [-lvl] + list(key_vals) + [field] + list(key_vals) + [field, 0.0]
+            store_tx.put(
+                idx_handle.encode_row_key(self_row), idx_handle.encode_row_val(self_row)
+            )
+            for nb in index.neighbors[lvl][slot]:
+                nb = int(nb)
+                if nb < 0:
+                    continue
+                to_item = cache.slot_to_item.get(nb)
+                if to_item is None:
+                    continue
+                d = float(index.dists_to(index.vectors[slot], np.array([nb]))[0])
+                row = (
+                    [-lvl]
+                    + list(key_vals)
+                    + [field]
+                    + list(to_item[0])
+                    + [to_item[1], d]
+                )
+                store_tx.put(
+                    idx_handle.encode_row_key(row), idx_handle.encode_row_val(row)
+                )
+    index.dirty.clear()
+
+
+# --------------------------------------------------------------- maintenance
+
+
+def hnsw_put(db, tx, handle, idx_name, meta, new_row, old_row) -> None:
+    cache = get_hnsw_cache(db, tx, handle, idx_name, meta)
+    idx_handle = tx.get_relation(f"{handle.name}:{idx_name}")
+    manifest = meta["config"]
+    nk = len(handle.keys)
+    filt = _compile_filter(manifest, handle)
+    passes = filt is None or filt.eval(new_row) is True
+    for fi, fname in enumerate(manifest["fields"]):
+        vec = new_row[handle.col_index(fname)]
+        if old_row is not None or not passes or vec is None:
+            _remove_item(cache, new_row[:nk], fi)
+        if passes and vec is not None:
+            if not isinstance(vec, Vector):
+                raise IndexError_(f"column '{fname}' is not a vector")
+            _insert_item(cache, new_row[:nk], fi, vec)
+    _sync_dirty_to_kv(cache, tx, handle, idx_handle)
+
+
+def hnsw_remove(db, tx, handle, idx_name, meta, old_row) -> None:
+    cache = get_hnsw_cache(db, tx, handle, idx_name, meta)
+    idx_handle = tx.get_relation(f"{handle.name}:{idx_name}")
+    manifest = meta["config"]
+    nk = len(handle.keys)
+    for fi in range(len(manifest["fields"])):
+        slot = _remove_item(cache, old_row[:nk], fi)
+        _ = slot
+    # also purge this node's rows from KV
+    for lvl in range(len(cache.index.neighbors)):
+        for fi in range(len(manifest["fields"])):
+            prefix = [-lvl] + list(old_row[:nk]) + [fi]
+            lower = idx_handle.encode_row_key(prefix)
+            upper = lower + b"\xff" * 9
+            store_tx = tx.store_tx_for(idx_handle)
+            for k, _ in list(store_tx.range_scan(lower, upper)):
+                store_tx.delete(k)
+    _sync_dirty_to_kv(cache, tx, handle, idx_handle)
+
+
+# -------------------------------------------------------------------- search
+
+
+def compile_hnsw_search(db, atom, binding_map, ctx, handle, meta):
+    """Compile `~rel:idx{bindings | query: .., k: .., ef: ..}` into a
+    batched search step (reference `HnswSearchRA::iter`, `query/ra.rs:1085`,
+    redesigned set-at-a-time)."""
+    from ..query.eval import CONST, BOUND, FRESH, Step, _classify_args
+
+    manifest = meta["config"]
+    opts = dict(atom.opts)
+
+    def const_opt(name, required=False, default=None):
+        e = opts.pop(name, None)
+        if e is None:
+            if required:
+                raise QueryError(f"Field `{name}` is required for HNSW search")
+            return default
+        e = e.fold_const()
+        if not isinstance(e, Const):
+            raise QueryError(f"option '{name}' must be a constant")
+        return e.val
+
+    query_expr = opts.pop("query", None)
+    if query_expr is None:
+        raise QueryError("Field `query` is required for HNSW search")
+    k = const_opt("k", required=True)
+    ef = const_opt("ef", required=False, default=max(int(k), 16))
+    radius = const_opt("radius")
+    filter_expr = opts.pop("filter", None)
+
+    def bind_opt(name):
+        e = opts.pop(name, None)
+        if e is None:
+            return None
+        if not isinstance(e, Binding):
+            raise QueryError(f"option '{name}' must be a variable")
+        return e.var
+
+    bind_distance = bind_opt("bind_distance")
+    bind_vector = bind_opt("bind_vector")
+    bind_field = bind_opt("bind_field")
+    bind_field_idx = bind_opt("bind_field_idx")
+    if opts:
+        raise QueryError(f"unknown HNSW search options {sorted(opts)}")
+
+    query_expr.fill_binding_indices(binding_map)
+
+    # base-row column bindings (like a relation scan)
+    cols = handle.col_names()
+    by_col = dict(atom.pairs)
+    unknown = set(by_col) - set(cols)
+    if unknown:
+        raise QueryError(f"columns {sorted(unknown)} not found in '{handle.name}'")
+    args = [by_col.get(c) for c in cols]
+    spec = _classify_args(args, binding_map)
+
+    extra_binds = []
+    for name in (bind_distance, bind_field, bind_field_idx, bind_vector):
+        if name is None:
+            extra_binds.append(None)
+        elif name in binding_map:
+            raise QueryError(f"binding '{name}' for HNSW search already bound")
+        else:
+            binding_map[name] = len(binding_map)
+            extra_binds.append(binding_map[name])
+
+    if filter_expr is not None:
+        fmap = {c: i for i, c in enumerate(cols)}
+        filter_expr.fill_binding_indices(fmap)
+
+    idx_name = atom.idx
+    fields = manifest["fields"]
+
+    class HnswSearchStep(Step):
+        def run(self, envs, ctx2, delta):
+            if not envs:
+                return []
+            cache = get_hnsw_cache(db, ctx2.tx, handle, idx_name, meta)
+            index = cache.index
+            dt = index.dtype
+            qs = np.zeros((len(envs), manifest["dim"]), dtype=dt)
+            for i, env in enumerate(envs):
+                qv = query_expr.eval(env)
+                if not isinstance(qv, Vector):
+                    raise QueryError(
+                        f"HNSW query must be a vector, got {type(qv).__name__}"
+                    )
+                if len(qv) != manifest["dim"]:
+                    raise QueryError(
+                        f"HNSW query dim {len(qv)} != index dim {manifest['dim']}"
+                    )
+                qs[i] = qv.a.astype(dt)
+            ids, dists = index.search(qs, int(k), int(ef))
+            out = []
+            store_tx = ctx2.tx.store_tx_for(handle)
+            post = [(i, kv) for i, kv in enumerate(spec) if kv[0] in (CONST, BOUND)]
+            fresh = [(i, p) for i, (kk, p) in enumerate(spec) if kk == FRESH]
+            from ..data.value import value_eq
+
+            for b, env in enumerate(envs):
+                for j in range(ids.shape[1]):
+                    slot = int(ids[b, j])
+                    if slot < 0:
+                        continue
+                    d = float(dists[b, j])
+                    if radius is not None and d > radius:
+                        continue
+                    item = cache.slot_to_item.get(slot)
+                    if item is None:
+                        continue
+                    key_vals, field_idx = item
+                    row = handle.get_row(store_tx, key_vals)
+                    if row is None:
+                        continue
+                    if filter_expr is not None and filter_expr.eval(row) is not True:
+                        continue
+                    ok = True
+                    for i, (kk, v) in post:
+                        want = v if kk == CONST else env[v]
+                        if not value_eq(row[i], want):
+                            ok = False
+                            break
+                    if not ok:
+                        continue
+                    new_env = env + tuple(row[i] for i, _ in fresh)
+                    ext_vals = [
+                        d,
+                        fields[field_idx],
+                        field_idx,
+                        Vector(index.vectors[slot].copy(), dtype=index.dtype),
+                    ]
+                    for pos, val in zip(extra_binds, ext_vals):
+                        if pos is not None:
+                            new_env = new_env + (val,)
+                    out.append(new_env)
+            return out
+
+    return HnswSearchStep()
