@@ -1,0 +1,281 @@
+"""MinHash-LSH index runtime (reference `cozo-core/src/runtime/minhash_lsh.rs`):
+banded minhash for near-duplicate search.
+
+Layout: index relation keyed `(band_idx, band_hash, ...base_keys)`;
+inverse relation keyed `(...base_keys) => (band_hashes, signature_bytes)`
+for deletion + similarity estimation."""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..data.expr import Binding, Const
+from ..data.value import cmp_key
+from ..ops.minhash import (
+    band_keys,
+    find_optimal_params,
+    hash_tokens,
+    jaccard_estimate,
+    minhash,
+)
+from ..parse import ast as A
+from ..utils.errors import IndexError_, QueryError
+from .relation import ColumnDef, RelationHandle, parse_col_type_str
+
+
+def _analyzer_and_extractor(manifest, handle):
+    from ..fts.indexing import get_analyzer, _compile_extractor
+
+    return get_analyzer(manifest), _compile_extractor(manifest, handle)
+
+
+def _ngrams(tokens: List[str], n: int) -> List[str]:
+    if n <= 1:
+        return tokens
+    if len(tokens) < n:
+        return [" ".join(tokens)] if tokens else []
+    return [" ".join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)]
+
+
+def _signature(manifest, analyzer, text: str) -> np.ndarray:
+    toks = [t.text for t in analyzer.analyze(text)]
+    grams = _ngrams(toks, manifest["n_gram"])
+    return minhash(hash_tokens(grams), manifest["n_perm"])
+
+
+# ------------------------------------------------------------------------ DDL
+
+
+def create_lsh_index(db, cfg: A.MinHashLshConfig):
+    from ..runtime.db import NamedRows
+    from ..data.functions import current_validity_ts
+
+    tx = db._new_session(True, current_validity_ts())
+    try:
+        handle = tx.get_relation(cfg.base_relation, for_update=True)
+        if cfg.index_name in handle.indices:
+            raise IndexError_(
+                f"index '{cfg.index_name}' already exists on '{cfg.base_relation}'"
+            )
+        if not cfg.extractor:
+            raise IndexError_("lsh index requires 'extractor'")
+        n_bands, rows_per_band = find_optimal_params(
+            cfg.target_threshold,
+            cfg.n_perm,
+            cfg.false_positive_weight,
+            cfg.false_negative_weight,
+        )
+        idx_id = tx.alloc_rel_id(temp=handle.is_temp)
+        inv_id = tx.alloc_rel_id(temp=handle.is_temp)
+        idx_keys = [
+            ColumnDef("band_idx", parse_col_type_str("Int"), None),
+            ColumnDef("band_hash", parse_col_type_str("Bytes"), None),
+        ]
+        for kc in handle.keys:
+            idx_keys.append(ColumnDef(f"src_{kc.name}", kc.typing, None))
+        idx_handle = RelationHandle(
+            id=idx_id,
+            name=f"{cfg.base_relation}:{cfg.index_name}",
+            keys=idx_keys,
+            values=[],
+            is_temp=handle.is_temp,
+        )
+        inv_keys = [ColumnDef(kc.name, kc.typing, None) for kc in handle.keys]
+        inv_handle = RelationHandle(
+            id=inv_id,
+            name=f"{cfg.base_relation}:{cfg.index_name}:inv",
+            keys=inv_keys,
+            values=[
+                ColumnDef("bands", parse_col_type_str("[Bytes]"), None),
+                ColumnDef("signature", parse_col_type_str("Bytes"), None),
+            ],
+            is_temp=handle.is_temp,
+        )
+        tx.put_relation_meta(idx_handle)
+        tx.put_relation_meta(inv_handle)
+        manifest = {
+            "extractor": cfg.extractor,
+            "tokenizer": list(cfg.tokenizer),
+            "filters": [list(f) for f in cfg.filters],
+            "n_gram": cfg.n_gram,
+            "n_perm": cfg.n_perm,
+            "n_bands": n_bands,
+            "rows_per_band": rows_per_band,
+            "target_threshold": cfg.target_threshold,
+            "false_positive_weight": cfg.false_positive_weight,
+            "false_negative_weight": cfg.false_negative_weight,
+        }
+        meta = {"kind": "lsh", "rel_ids": [idx_id, inv_id], "config": manifest}
+        handle.indices[cfg.index_name] = meta
+        tx.put_relation_meta(handle)
+        # back-fill
+        analyzer, extractor = _analyzer_and_extractor(manifest, handle)
+        store_tx = tx.store_tx_for(handle)
+        nk = len(handle.keys)
+        for row in handle.scan_all(store_tx):
+            _index_doc(tx, idx_handle, inv_handle, manifest, analyzer, extractor, row, nk)
+        tx.commit()
+        return NamedRows.ok()
+    except BaseException:
+        tx.abort()
+        raise
+
+
+def _index_doc(tx, idx_handle, inv_handle, manifest, analyzer, extractor, row, nk):
+    text = extractor.eval(row)
+    if text is None:
+        return
+    if not isinstance(text, str):
+        raise QueryError("LSH extractor must evaluate to a string or null")
+    sig = _signature(manifest, analyzer, text)
+    bands = band_keys(sig, manifest["n_bands"], manifest["rows_per_band"])
+    store_tx = tx.store_tx_for(idx_handle)
+    for bi, bh in enumerate(bands):
+        out_row = [bi, bh] + row[:nk]
+        store_tx.put(idx_handle.encode_row_key(out_row), b"")
+    inv_row = row[:nk] + [list(bands), sig.tobytes()]
+    store_tx.put(
+        inv_handle.encode_row_key(inv_row), inv_handle.encode_row_val(inv_row)
+    )
+
+
+def _deindex_doc(tx, idx_handle, inv_handle, row_keys):
+    store_tx = tx.store_tx_for(idx_handle)
+    inv = inv_handle.get_row(store_tx, row_keys)
+    if inv is None:
+        return
+    bands = inv[len(row_keys)]
+    for bi, bh in enumerate(bands):
+        store_tx.delete(idx_handle.encode_row_key([bi, bh] + list(row_keys)))
+    store_tx.delete(inv_handle.encode_row_key(row_keys))
+
+
+# -------------------------------------------------------------- maintenance
+
+
+def lsh_put(db, tx, handle, idx_name, meta, new_row, old_row) -> None:
+    manifest = meta["config"]
+    idx_handle = tx.get_relation(f"{handle.name}:{idx_name}")
+    inv_handle = tx.get_relation(f"{handle.name}:{idx_name}:inv")
+    nk = len(handle.keys)
+    _deindex_doc(tx, idx_handle, inv_handle, new_row[:nk])
+    analyzer, extractor = _analyzer_and_extractor(manifest, handle)
+    _index_doc(tx, idx_handle, inv_handle, manifest, analyzer, extractor, new_row, nk)
+
+
+def lsh_remove(db, tx, handle, idx_name, meta, old_row) -> None:
+    idx_handle = tx.get_relation(f"{handle.name}:{idx_name}")
+    inv_handle = tx.get_relation(f"{handle.name}:{idx_name}:inv")
+    _deindex_doc(tx, idx_handle, inv_handle, old_row[: len(handle.keys)])
+
+
+# ------------------------------------------------------------------- search
+
+
+def lsh_search(
+    db, tx, handle, idx_name, meta, query: str, k: Optional[int]
+) -> List[Tuple[list, float]]:
+    """Returns [(base_key_vals, est_jaccard)] sorted by similarity."""
+    manifest = meta["config"]
+    idx_handle = tx.get_relation(f"{handle.name}:{idx_name}")
+    inv_handle = tx.get_relation(f"{handle.name}:{idx_name}:inv")
+    analyzer, _ = _analyzer_and_extractor(manifest, handle)
+    sig = _signature(manifest, analyzer, query)
+    bands = band_keys(sig, manifest["n_bands"], manifest["rows_per_band"])
+    store_tx = tx.store_tx_for(idx_handle)
+    nk = len(handle.keys)
+    cands: Dict[tuple, list] = {}
+    for bi, bh in enumerate(bands):
+        for row in idx_handle.scan_prefix(store_tx, [bi, bh]):
+            key_vals = row[2 : 2 + nk]
+            cands.setdefault(tuple(cmp_key(v) for v in key_vals), key_vals)
+    out = []
+    for key_vals in cands.values():
+        inv = inv_handle.get_row(store_tx, key_vals)
+        if inv is None:
+            continue
+        stored_sig = np.frombuffer(inv[nk + 1], dtype=np.uint32)
+        out.append((key_vals, jaccard_estimate(sig, stored_sig)))
+    out.sort(key=lambda x: -x[1])
+    if k is not None:
+        out = out[:k]
+    return out
+
+
+def compile_lsh_search(db, atom, binding_map, ctx, handle, meta):
+    from ..query.eval import CONST, BOUND, FRESH, Step, _classify_args
+    from ..data.value import value_eq
+
+    opts = dict(atom.opts)
+    query_expr = opts.pop("query", None)
+    if query_expr is None:
+        raise QueryError("Field `query` is required for LSH search")
+    k = None
+    k_e = opts.pop("k", None)
+    if k_e is not None:
+        k_e = k_e.fold_const()
+        if not isinstance(k_e, Const):
+            raise QueryError("option 'k' must be a constant")
+        k = int(k_e.val)
+    filter_expr = opts.pop("filter", None)
+    bind_similarity = None
+    bs = opts.pop("bind_similarity", None)
+    if bs is not None:
+        if not isinstance(bs, Binding):
+            raise QueryError("bind_similarity must be a variable")
+        bind_similarity = bs.var
+    if opts:
+        raise QueryError(f"Unknown parameters for LSH: {sorted(opts)}")
+
+    query_expr.fill_binding_indices(binding_map)
+    cols = handle.col_names()
+    by_col = dict(atom.pairs)
+    unknown = set(by_col) - set(cols)
+    if unknown:
+        raise QueryError(f"columns {sorted(unknown)} not found in '{handle.name}'")
+    spec = _classify_args([by_col.get(c) for c in cols], binding_map)
+    sim_pos = None
+    if bind_similarity is not None:
+        binding_map[bind_similarity] = len(binding_map)
+        sim_pos = binding_map[bind_similarity]
+    if filter_expr is not None:
+        fmap = {c: i for i, c in enumerate(cols)}
+        filter_expr.fill_binding_indices(fmap)
+
+    idx_name = atom.idx
+
+    class LshSearchStep(Step):
+        def run(self, envs, ctx2, delta):
+            out = []
+            post = [(i, kv) for i, kv in enumerate(spec) if kv[0] in (CONST, BOUND)]
+            fresh = [(i, p) for i, (kk, p) in enumerate(spec) if kk == FRESH]
+            store_tx = ctx2.tx.store_tx_for(handle)
+            for env in envs:
+                q = query_expr.eval(env)
+                if not isinstance(q, str):
+                    raise QueryError("LSH query must be a string")
+                for key_vals, sim in lsh_search(
+                    db, ctx2.tx, handle, idx_name, meta, q, k
+                ):
+                    row = handle.get_row(store_tx, key_vals)
+                    if row is None:
+                        continue
+                    if filter_expr is not None and filter_expr.eval(row) is not True:
+                        continue
+                    ok = True
+                    for i, (kk, v) in post:
+                        want = v if kk == CONST else env[v]
+                        if not value_eq(row[i], want):
+                            ok = False
+                            break
+                    if not ok:
+                        continue
+                    new_env = env + tuple(row[i] for i, _ in fresh)
+                    if sim_pos is not None:
+                        new_env = new_env + (sim,)
+                    out.append(new_env)
+            return out
+
+    return LshSearchStep()

@@ -1,0 +1,176 @@
+"""FTS + MinHash-LSH tests (mirrors reference `runtime/tests.rs`
+test_fts_indexing / test_lsh_indexing*)."""
+
+import pytest
+
+from cozo_tpu import Db
+from cozo_tpu.fts.tokenizer import build_analyzer, porter_stem
+from cozo_tpu.ops.minhash import find_optimal_params, hash_tokens, minhash
+
+
+@pytest.fixture()
+def db():
+    return Db("mem")
+
+
+def test_tokenizers():
+    a = build_analyzer(("Simple", []), [("LowerCase", [])])
+    toks = [t.text for t in a.analyze("Hello, World! Déjà vu")]
+    assert toks == ["hello", "world", "déjà", "vu"]
+    a = build_analyzer(("Simple", []), [("AsciiFolding", []), ("LowerCase", [])])
+    assert [t.text for t in a.analyze("Déjà")] == ["deja"]
+    a = build_analyzer(("NGram", [2, 3, False]), [])
+    assert "ab" in [t.text for t in a.analyze("abc")]
+    a = build_analyzer(("Whitespace", []), [])
+    assert [t.text for t in a.analyze("a b,c")] == ["a", "b,c"]
+    a = build_analyzer(("Cangjie", []), [])
+    assert [t.text for t in a.analyze("你好world")] == ["你", "好", "world"]
+
+
+def test_porter_stemmer():
+    assert porter_stem("running") == "run"
+    assert porter_stem("flies") == "fli"
+    assert porter_stem("caresses") == "caress"
+
+
+def test_stopwords_and_remove_long():
+    a = build_analyzer(
+        ("Simple", []),
+        [("LowerCase", []), ("Stopwords", [["the"]]), ("RemoveLong", [8])],
+    )
+    toks = [t.text for t in a.analyze("The quick extraordinarily brown fox")]
+    assert toks == ["quick", "brown", "fox"]
+
+
+def seed_docs(db):
+    db.run_script(":create docs {id: Int => body: String}")
+    rows = [
+        [1, "The quick brown fox jumps over the lazy dog"],
+        [2, "A fast auburn fox leaped over a sleepy canine"],
+        [3, "Lorem ipsum dolor sit amet"],
+        [4, "The dog sleeps while the fox runs"],
+    ]
+    db.run_script("?[id, body] <- $rows :put docs {id => body}", {"rows": rows})
+
+
+def test_fts_create_and_search(db):
+    seed_docs(db)
+    db.run_script(
+        "::fts create docs:ft {extractor: body, tokenizer: Simple, "
+        "filters: [Lowercase]}"
+    )
+    res = db.run_script(
+        "?[id, s] := ~docs:ft{id | query: 'fox', k: 10, bind_score: s}"
+    )
+    ids = sorted(r[0] for r in res.rows)
+    assert ids == [1, 2, 4]
+    res = db.run_script("?[id] := ~docs:ft{id | query: 'fox AND dog', k: 10}")
+    assert sorted(r[0] for r in res.rows) == [1, 4]
+    res = db.run_script("?[id] := ~docs:ft{id | query: 'fox NOT dog', k: 10}")
+    assert sorted(r[0] for r in res.rows) == [2]
+    res = db.run_script("?[id] := ~docs:ft{id | query: 'lorem OR canine', k: 10}")
+    assert sorted(r[0] for r in res.rows) == [2, 3]
+
+
+def test_fts_prefix_and_phrase(db):
+    seed_docs(db)
+    db.run_script(
+        "::fts create docs:ft {extractor: body, tokenizer: Simple, "
+        "filters: [Lowercase]}"
+    )
+    res = db.run_script("?[id] := ~docs:ft{id | query: 'sle*', k: 10}")
+    assert sorted(r[0] for r in res.rows) == [2, 4]
+    res = db.run_script("?[id] := ~docs:ft{id | query: 'quick brown', k: 10}")
+    assert [r[0] for r in res.rows] == [1]
+
+
+def test_fts_maintenance(db):
+    seed_docs(db)
+    db.run_script(
+        "::fts create docs:ft {extractor: body, tokenizer: Simple, "
+        "filters: [Lowercase]}"
+    )
+    db.run_script("?[id, body] <- [[5, 'another fox story']] :put docs {id => body}")
+    res = db.run_script("?[id] := ~docs:ft{id | query: 'fox', k: 10}")
+    assert 5 in [r[0] for r in res.rows]
+    db.run_script("?[id] <- [[1]] :rm docs {id}")
+    res = db.run_script("?[id] := ~docs:ft{id | query: 'fox', k: 10}")
+    assert 1 not in [r[0] for r in res.rows]
+    # update: body change reindexes
+    db.run_script("?[id, body] <- [[2, 'nothing here']] :put docs {id => body}")
+    res = db.run_script("?[id] := ~docs:ft{id | query: 'fox', k: 10}")
+    assert sorted(r[0] for r in res.rows) == [4, 5]
+
+
+def test_fts_near(db):
+    seed_docs(db)
+    db.run_script(
+        "::fts create docs:ft {extractor: body, tokenizer: Simple, "
+        "filters: [Lowercase]}"
+    )
+    # doc 4: dog@1 fox@5 (distance 4); doc 1: fox@3 dog@8 (distance 5)
+    res = db.run_script("?[id] := ~docs:ft{id | query: 'NEAR/4(fox dog)', k: 10}")
+    assert [r[0] for r in res.rows] == [4]
+    res = db.run_script("?[id] := ~docs:ft{id | query: 'NEAR/5(fox dog)', k: 10}")
+    assert sorted(r[0] for r in res.rows) == [1, 4]
+
+
+def test_lsh_params():
+    b, r = find_optimal_params(0.8, 200, 1.0, 1.0)
+    assert b * r <= 200
+    assert b > 1 and r > 1
+
+
+def test_minhash_similarity():
+    a = hash_tokens(["a", "b", "c", "d", "e", "f"])
+    b = hash_tokens(["a", "b", "c", "d", "x", "y"])
+    sa, sb = minhash(a, 128), minhash(b, 128)
+    import numpy as np
+
+    est = float(np.mean(sa == sb))
+    # true jaccard = 4/8 = 0.5
+    assert 0.3 < est < 0.7
+
+
+def test_lsh_create_and_search(db):
+    seed_docs(db)
+    db.run_script(
+        "::lsh create docs:lsh {extractor: body, tokenizer: Simple, "
+        "filters: [Lowercase], n_perm: 100, target_threshold: 0.3, n_gram: 1}"
+    )
+    res = db.run_script(
+        "?[id] := ~docs:lsh{id | query: 'The quick brown fox jumps over the lazy dog', k: 3}"
+    )
+    assert 1 in [r[0] for r in res.rows]
+    # near-duplicate should also surface doc 1
+    res = db.run_script(
+        "?[id] := ~docs:lsh{id | query: 'The quick brown fox jumps over a lazy dog', k: 3}"
+    )
+    assert 1 in [r[0] for r in res.rows]
+
+
+def test_lsh_maintenance(db):
+    seed_docs(db)
+    db.run_script(
+        "::lsh create docs:lsh {extractor: body, tokenizer: Simple, "
+        "filters: [Lowercase], n_perm: 100, target_threshold: 0.3, n_gram: 1}"
+    )
+    db.run_script("?[id] <- [[1]] :rm docs {id}")
+    res = db.run_script(
+        "?[id] := ~docs:lsh{id | query: 'The quick brown fox jumps over the lazy dog', k: 5}"
+    )
+    assert 1 not in [r[0] for r in res.rows]
+
+
+def test_lsh_self_similarity_full_pipeline(db):
+    db.run_script(":create sents {id: Int => t: String}")
+    rows = [[i, f"sentence number {i} about topic {i % 3}"] for i in range(30)]
+    db.run_script("?[id, t] <- $rows :put sents {id => t}", {"rows": rows})
+    db.run_script(
+        "::lsh create sents:l {extractor: t, tokenizer: Simple, "
+        "filters: [Lowercase], n_perm: 64, target_threshold: 0.5, n_gram: 1}"
+    )
+    res = db.run_script(
+        "?[id] := ~sents:l{id | query: 'sentence number 7 about topic 1', k: 1}"
+    )
+    assert res.rows[0][0] == 7
