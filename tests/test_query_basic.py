@@ -7,9 +7,21 @@ from cozo_tpu import Db
 from cozo_tpu.utils.errors import CozoError
 
 
+import os
+
+
+# like the reference's COZO_TEST_DB_ENGINE (air_routes.rs:28): the same
+# integration suite runs against every engine
 @pytest.fixture()
-def db():
-    return Db("mem")
+def db(tmp_path):
+    engine = os.environ.get("COZO_TEST_DB_ENGINE", "mem")
+    if engine == "mem":
+        return Db("mem")
+    if engine == "sqlite":
+        return Db("sqlite", str(tmp_path / "test.db"))
+    if engine == "tkv":
+        return Db("tkv", str(tmp_path / "test.tkv"))
+    raise ValueError(engine)
 
 
 def q(db, script, params=None):

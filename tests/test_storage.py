@@ -4,12 +4,24 @@ from cozo_tpu.storage.mem import MemStorage
 from cozo_tpu.storage.sqlite import SqliteStorage
 
 
-@pytest.fixture(params=["mem", "sqlite"])
+@pytest.fixture(params=["mem", "sqlite", "tkv", "tkv_mem"])
 def store(request, tmp_path):
     if request.param == "mem":
         yield MemStorage()
-    else:
+    elif request.param == "sqlite":
         s = SqliteStorage(str(tmp_path / "t.db"))
+        yield s
+        s.close()
+    elif request.param == "tkv":
+        from cozo_tpu.storage.tkv import TkvStorage
+
+        s = TkvStorage(str(tmp_path / "t.tkv"))
+        yield s
+        s.close()
+    else:
+        from cozo_tpu.storage.tkv import TkvStorage
+
+        s = TkvStorage("")
         yield s
         s.close()
 
