@@ -23,15 +23,14 @@ def main():
     from cozo_tpu.ops.vector_search import brute_force_knn
 
     rng = np.random.default_rng(42)
-    n, dim, n_queries, k, ef = 10_000, 128, 1024, 10, 64
+    n, dim, n_queries, k, ef = 10_000, 128, 4096, 10, 96
 
     data = rng.standard_normal((n, dim)).astype(np.float32)
     queries = rng.standard_normal((n_queries, dim)).astype(np.float32)
 
     t0 = time.time()
     index = HnswIndex(dim=dim, m=16, ef_construction=200, distance="L2")
-    for v in data:
-        index.insert(v)
+    index.bulk_build(data, wave=512)  # wave-batched construction
     build_s = time.time() - t0
     print(f"# build: {n} vectors in {build_s:.1f}s", file=sys.stderr)
 
@@ -41,7 +40,7 @@ def main():
     )
 
     # warm up + compile the device search
-    ids, dists = index.search(queries[:64], k=k, ef=ef, use_tpu=True)
+    ids, dists = index.search(queries, k=k, ef=ef, use_tpu=True)
 
     t0 = time.time()
     reps = 4

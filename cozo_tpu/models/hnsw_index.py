@@ -116,18 +116,18 @@ class HnswIndex:
 
     def dists_to(self, q: np.ndarray, slots: np.ndarray) -> np.ndarray:
         """Distances from one query to many stored slots (vectorized)."""
-        vs = self.vectors[slots].astype(np.float64)
-        qd = q.astype(np.float64)
+        vs = self.vectors[slots]
         if self.distance == DIST_L2:
-            d = vs - qd
-            return np.einsum("ij,ij->i", d, d)
-        dots = vs @ qd
+            d = vs - q
+            return np.einsum("ij,ij->i", d, d, dtype=np.float64)
+        dots = vs @ q.astype(self.dtype)
         if self.distance == DIST_IP:
-            return 1.0 - dots
+            return 1.0 - dots.astype(np.float64)
+        qd = q.astype(np.float64)
         qn = float(qd @ qd)
         denom = np.sqrt(self.norms[slots] * qn)
         denom = np.where(denom > 0, denom, 1.0)
-        return 1.0 - dots / denom
+        return 1.0 - dots.astype(np.float64) / denom
 
     def dists_batch(self, qs: np.ndarray, slots: np.ndarray) -> np.ndarray:
         """qs [B, d]; slots [B, K] → [B, K] distances (invalid slots = +inf)."""
@@ -220,36 +220,41 @@ class HnswIndex:
         import heapq
 
         nb = self.neighbors[level]
-        visited = set(eps)
-        d0 = self.dists_to(q, np.array(eps))
-        cand = [(float(d), e) for d, e in zip(d0, eps)]
+        visited = np.zeros(self.vectors.shape[0], dtype=bool)
+        eps_a = np.asarray(eps, dtype=np.int64)
+        visited[eps_a] = True
+        d0 = self.dists_to(q, eps_a)
+        cand = [(float(d), int(e)) for d, e in zip(d0, eps)]
         heapq.heapify(cand)
-        result = [(-float(d), e) for d, e in zip(d0, eps) if self.alive[e]]
-        if not result:
-            result = [(-float(d), e) for d, e in zip(d0, eps)]
+        result = [
+            (-float(d), int(e)) for d, e in zip(d0, eps) if self.alive[e]
+        ] or [(-float(d), int(e)) for d, e in zip(d0, eps)]
         heapq.heapify(result)
+        heappush, heappop = heapq.heappush, heapq.heappop
         while cand:
-            d, c = heapq.heappop(cand)
-            if result and d > -result[0][0] and len(result) >= ef:
+            d, c = heappop(cand)
+            if d > -result[0][0] and len(result) >= ef:
                 break
             ns = nb[c]
             ns = ns[ns >= 0]
-            new = [int(x) for x in ns if int(x) not in visited]
-            if not new:
+            if ns.size == 0:
                 continue
-            visited.update(new)
-            ds = self.dists_to(q, np.array(new))
-            worst = -result[0][0] if result else np.inf
-            for nd, nn in zip(ds, new):
-                nd = float(nd)
-                if len(result) < ef or nd < worst:
-                    heapq.heappush(cand, (nd, nn))
-                    heapq.heappush(result, (-nd, nn))
+            new = ns[~visited[ns]]
+            if new.size == 0:
+                continue
+            visited[new] = True
+            ds = self.dists_to(q, new)
+            worst = -result[0][0]
+            full = len(result) >= ef
+            for nd, nn in zip(ds.tolist(), new.tolist()):
+                if not full or nd < worst:
+                    heappush(cand, (nd, nn))
+                    heappush(result, (-nd, nn))
                     if len(result) > ef:
-                        heapq.heappop(result)
+                        heappop(result)
+                        full = True
                     worst = -result[0][0]
-        out = sorted((-d, s) for d, s in result)
-        return out
+        return sorted((-d, s) for d, s in result)
 
     def _select_neighbors(
         self, q: np.ndarray, cands: List[Tuple[float, int]], level: int
@@ -270,25 +275,31 @@ class HnswIndex:
                 ds = self.dists_to(q, np.array(extra))
                 pool.extend((float(d), s) for d, s in zip(ds, extra))
             pool.sort()
+        # one vectorized sweep per SELECTED node: when c is selected, mark
+        # every remaining candidate that lies closer to c than to q as
+        # dominated (equivalent to the reference's per-candidate check)
+        cand_ids = np.array([c for _, c in pool], dtype=np.int64)
+        cand_d = np.array([d for d, _ in pool])
+        ok_mask = self.alive[cand_ids]
+        dominated = np.zeros(len(pool), dtype=bool)
         selected: List[int] = []
-        pruned: List[Tuple[float, int]] = []
-        for d, c in pool:
-            if not self.alive[c]:
+        pruned: List[int] = []
+        for i in range(len(pool)):
+            if not ok_mask[i]:
                 continue
+            if dominated[i]:
+                pruned.append(int(cand_ids[i]))
+                continue
+            c = int(cand_ids[i])
+            selected.append(c)
             if len(selected) >= mmax:
                 break
-            # keep c iff it is closer to q than to any already-selected
-            ok = True
-            if selected:
-                dc = self.dists_to(self.vectors[c], np.array(selected))
-                if np.any(dc < d):
-                    ok = False
-            if ok:
-                selected.append(int(c))
-            else:
-                pruned.append((d, int(c)))
+            rest = slice(i + 1, len(pool))
+            if rest.start < len(pool):
+                dc = self.dists_to(self.vectors[c], cand_ids[rest])
+                dominated[rest] |= dc < cand_d[rest]
         if self.keep_pruned_connections:
-            for d, c in pruned:
+            for c in pruned:
                 if len(selected) >= mmax:
                     break
                 selected.append(c)
@@ -311,13 +322,13 @@ class HnswIndex:
             if row[i] < 0:
                 row[i] = to
                 return
-        # overfull: shrink via the selection heuristic
-        existing = [int(x) for x in row if x >= 0] + [to]
+        # overfull: keep the mmax closest (cheap prune; the full selection
+        # heuristic still shapes each node's own out-links at insert time)
+        existing = np.append(row[:mmax], np.int32(to))
         q = self.vectors[frm]
-        ds = self.dists_to(q, np.array(existing))
-        cands = sorted(zip(ds.tolist(), existing))
-        selected = self._select_neighbors(q, cands, level)
-        self._set_neighbors(level, frm, selected)
+        ds = self.dists_to(q, existing)
+        keep = np.argpartition(ds, mmax - 1)[:mmax]
+        row[:] = existing[keep]
 
     # ----------------------------------------------------------------- remove
 
@@ -392,15 +403,166 @@ class HnswIndex:
                 out_d[b, i] = d
         return out_ids, out_d
 
+    def _bf_candidates(self, batch: np.ndarray, k: int):
+        """Exact top-k against the built prefix via the device brute-force
+        kernel, padded to pow2 buckets to bound recompiles."""
+        from ..ops.vector_search import brute_force_knn, _pad_pow2
+
+        n = self.n
+        n_pad = _pad_pow2(max(n, 1))
+        vecs = np.zeros((n_pad, self.dim), dtype=np.float32)
+        vecs[:n] = self.vectors[:n].astype(np.float32)
+        norms = np.full(n_pad, np.inf)
+        norms[:n] = self.norms[:n]
+        if self.distance == "L2":
+            # padding rows are all-zero; give them +inf norms so they sort last
+            pass
+        ids, dists = brute_force_knn(vecs, norms, batch.astype(np.float32), k, self.distance)
+        ids = np.where(ids < n, ids, -1)
+        alive = self.alive[np.where(ids >= 0, ids, 0)]
+        ids = np.where((ids >= 0) & alive, ids, -1)
+        return ids, np.where(ids >= 0, dists, np.inf)
+
+    def _bf_candidates_np(self, batch: np.ndarray, k: int):
+        n = self.n
+        vs = self.vectors[:n]
+        qs = batch.astype(self.dtype)
+        if self.distance == "L2":
+            sq = self.norms[:n]
+            d = (
+                np.einsum("bd,bd->b", qs.astype(np.float64), qs.astype(np.float64))[:, None]
+                + sq[None, :]
+                - 2.0 * (qs @ vs.T).astype(np.float64)
+            )
+        else:
+            dots = (qs @ vs.T).astype(np.float64)
+            if self.distance == "IP":
+                d = 1.0 - dots
+            else:
+                qn = np.sqrt(np.einsum("bd,bd->b", qs, qs).astype(np.float64))
+                denom = np.outer(qn, np.sqrt(self.norms[:n]))
+                denom = np.where(denom > 0, denom, 1.0)
+                d = 1.0 - dots / denom
+        d = np.where(self.alive[:n][None, :], d, np.inf)
+        k = min(k, n)
+        part = np.argpartition(d, k - 1, axis=1)[:, :k]
+        pd = np.take_along_axis(d, part, axis=1)
+        order = np.argsort(pd, axis=1)
+        ids = np.take_along_axis(part, order, axis=1)
+        return ids.astype(np.int64), np.take_along_axis(pd, order, axis=1)
+
     # ------------------------------------------------------------ bulk build
 
-    def bulk_build(self, vectors: np.ndarray, wave: int = 0) -> List[int]:
-        """Build from scratch; returns slot ids in input order.
+    def bulk_build(
+        self,
+        vectors: np.ndarray,
+        wave: int = 512,
+        use_tpu: Optional[bool] = None,
+    ) -> List[int]:
+        """Wave-batched bulk construction (SURVEY.md §7.4: insert B vectors
+        per wave instead of per-row MVCC writes).
 
-        Sequential reference-faithful inserts; the wave-batched device
-        path lives in ops.vector_search.bulk_build_device and is used by
-        the runtime layer when beneficial."""
-        slots = []
-        for v in np.asarray(vectors, dtype=self.dtype):
-            slots.append(self.insert(v))
+        The first wave seeds the graph with sequential reference inserts;
+        every later wave batch-searches the already-built graph for all W
+        new vectors at once (one device call), adds intra-wave brute-force
+        candidates (one matmul), then runs the selection heuristic and
+        bidirectional linking on the host.  Returns slot ids in order."""
+        data = np.asarray(vectors, dtype=self.dtype)
+        n_new = data.shape[0]
+        if n_new == 0:
+            return []
+        if n_new <= wave or self.n > 0:
+            # small builds / incremental tails: reference-faithful inserts
+            return [self.insert(v) for v in data]
+
+        ef = self.ef_construction
+        # seed wave: sequential
+        slots = [self.insert(v) for v in data[:wave]]
+        pos = wave
+        while pos < n_new:
+            end = min(pos + wave, n_new)
+            batch = data[pos:end]
+            W = end - pos
+            # candidates from the built part: exact brute force — numpy for
+            # small prefixes (compile-free), device matmul+top_k for larger
+            # ones, batched beam search beyond the brute-force budget
+            if self.n <= 16_384 and use_tpu is not True:
+                cand_ids, cand_d = self._bf_candidates_np(batch, min(ef, self.n))
+            elif self.n <= 262_144:
+                cand_ids, cand_d = self._bf_candidates(batch, min(ef, self.n))
+            else:
+                cand_ids, cand_d = self.search(batch, k=ef, ef=ef, use_tpu=use_tpu)
+            # intra-wave brute-force candidates (earlier peers only)
+            bf = batch.astype(np.float64)
+            if self.distance == DIST_L2:
+                sq = np.einsum("id,id->i", bf, bf)
+                intra = sq[:, None] + sq[None, :] - 2.0 * (bf @ bf.T)
+            else:
+                dots = bf @ bf.T
+                if self.distance == DIST_IP:
+                    intra = 1.0 - dots
+                else:
+                    nrm = np.sqrt(np.einsum("id,id->i", bf, bf))
+                    denom = np.outer(nrm, nrm)
+                    denom = np.where(denom > 0, denom, 1.0)
+                    intra = 1.0 - dots / denom
+
+            new_slots = []
+            for j in range(W):
+                v = batch[j]
+                level = self.random_level()
+                if self._free:
+                    slot = self._free.pop()
+                else:
+                    slot = self.n
+                    self._grow(slot + 1)
+                self.n = max(self.n, slot + 1)
+                self.vectors[slot] = v
+                self.norms[slot] = float(
+                    v.astype(np.float64) @ v.astype(np.float64)
+                )
+                self.levels[slot] = level
+                self.alive[slot] = True
+                self.dirty.add(slot)
+                self._ensure_level(level)
+                for l in range(level + 1):
+                    self.neighbors[l][slot, :] = -1
+                new_slots.append(slot)
+
+            n_peer = min(ef, W)
+            for j in range(W):
+                slot = new_slots[j]
+                level = int(self.levels[slot])
+                pool = [
+                    (float(d), int(c))
+                    for d, c in zip(cand_d[j], cand_ids[j])
+                    if c >= 0
+                ]
+                if j > 0:
+                    peer_d = intra[j, :j]
+                    if j > n_peer:
+                        nearest = np.argpartition(peer_d, n_peer - 1)[:n_peer]
+                    else:
+                        nearest = np.arange(j)
+                    pool.extend(
+                        (float(peer_d[i]), new_slots[i]) for i in nearest
+                    )
+                pool.sort()
+                del pool[ef:]  # heuristic only ever consumes ~ef candidates
+                for l in range(level, -1, -1):
+                    cands_l = [
+                        (d, c) for d, c in pool if self.levels[c] >= l
+                    ]
+                    if not cands_l:
+                        continue
+                    mmax = self.m_max0 if l == 0 else self.m_max
+                    selected = self._select_neighbors(v, cands_l, l)
+                    self._set_neighbors(l, slot, selected[:mmax])
+                    for nb_ in selected[:mmax]:
+                        self._add_link(l, nb_, slot)
+                if level > int(self.levels[self.entry]):
+                    self.entry = slot
+            slots.extend(new_slots)
+            self.version += 1
+            pos = end
         return slots

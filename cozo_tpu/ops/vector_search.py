@@ -27,6 +27,9 @@ import numpy as np
 
 
 def _jx():
+    from ..utils.jax_setup import ensure_jax_config
+
+    ensure_jax_config()
     import jax
     import jax.numpy as jnp
 
@@ -85,6 +88,7 @@ def _compiled_search(
     m_up: int,
     dist_kind: int,  # 0 L2, 1 IP, 2 Cos
     max_iters: int,
+    expand: int = 4,  # candidates expanded per iteration per query
 ):
     jax, jnp = _jx()
 
@@ -153,32 +157,33 @@ def _compiled_search(
             return jnp.logical_and(i < max_iters, jnp.any(has_work))
 
         def body(state):
+            # expand the `expand` best unexpanded candidates per query at
+            # once — fewer while iterations, bigger fused gathers (MXU/VPU
+            # utilization beats the tiny per-step ops of pointer chasing)
             i, ids, dists, expanded = state
             sel_d = jnp.where(expanded | (ids < 0), jnp.inf, dists)
-            sel = jnp.argmin(sel_d, axis=1)  # [B]
-            row_active = jnp.take_along_axis(sel_d, sel[:, None], axis=1)[
-                :, 0
-            ] < jnp.inf
-            sel_id = jnp.take_along_axis(ids, sel[:, None], axis=1)[:, 0]
-            expanded = expanded.at[jnp.arange(B), sel].set(True)
-            nbr = nb0[jnp.where(row_active, sel_id, 0)]  # [B, m0]
-            nbr = jnp.where(row_active[:, None], nbr, -1)
+            neg_sel, sel = jax.lax.top_k(-sel_d, expand)  # [B, E]
+            sel_active = -neg_sel < jnp.inf
+            sel_ids = jnp.take_along_axis(ids, sel, axis=1)  # [B, E]
+            expanded = expanded.at[jnp.arange(B)[:, None], sel].set(True)
+            nbr = nb0[jnp.where(sel_active, sel_ids, 0)]  # [B, E, m0]
+            nbr = jnp.where(sel_active[:, :, None], nbr, -1)
+            nbr = nbr.reshape(B, expand * m0)
             valid = nbr >= 0
             # dedup against current beam
             dup = jnp.any(nbr[:, :, None] == ids[:, None, :], axis=2)
-            valid = valid & jnp.logical_not(dup)
+            # dedup within the expansion (earlier occurrence wins)
+            em = expand * m0
+            tri = jnp.tril(jnp.ones((em, em), bool), k=-1)
+            dup_new = jnp.any(
+                (nbr[:, :, None] == nbr[:, None, :]) & tri[None, :, :], axis=2
+            )
+            valid = valid & ~dup & ~dup_new
             cv = vectors[jnp.where(nbr >= 0, nbr, 0)]
             nd = jnp.where(valid, dist(qs, cv), jnp.inf)
-            nd = jnp.where(
-                valid & jnp.logical_not(alive[jnp.where(nbr >= 0, nbr, 0)]),
-                nd + 0.0,
-                nd,
-            )
             all_ids = jnp.concatenate([ids, jnp.where(valid, nbr, -1)], axis=1)
             all_d = jnp.concatenate([dists, nd], axis=1)
-            all_exp = jnp.concatenate(
-                [expanded, jnp.ones((B, nbr.shape[1]), bool) & ~valid], axis=1
-            )
+            all_exp = jnp.concatenate([expanded, ~valid], axis=1)
             neg, top = jax.lax.top_k(-all_d, beam)
             new_ids = jnp.take_along_axis(all_ids, top, axis=1)
             new_d = -neg
@@ -241,7 +246,8 @@ def hnsw_search_device(index, qs: np.ndarray, k: int, ef: int):
     dist_kind = {"L2": 0, "IP": 1, "Cosine": 2}[index.distance]
     beam = max(ef, k)
     beam = int(math.ceil(beam / 8) * 8)
-    max_iters = beam + 16
+    expand = 4
+    max_iters = (beam + expand - 1) // expand + 8
     key = (
         dev["n_pad"],
         index.dim,
@@ -252,6 +258,7 @@ def hnsw_search_device(index, qs: np.ndarray, k: int, ef: int):
         dev["m_up"],
         dist_kind,
         max_iters,
+        expand,
     )
     fn = _SEARCH_CACHE.get(key)
     if fn is None:
