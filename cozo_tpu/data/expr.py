@@ -31,6 +31,11 @@ __all__ = [
 class Expr:
     __slots__ = ()
 
+    def clone(self) -> "Expr":
+        """Structural copy — binding indices are filled per compiled clause,
+        so clauses must never share mutable Expr nodes."""
+        return self
+
     def bindings(self, out: Set[str]) -> None:
         pass
 
@@ -76,6 +81,9 @@ class Binding(Expr):
         self.var = var
         self.tuple_pos = tuple_pos
 
+    def clone(self) -> "Binding":
+        return Binding(self.var, self.tuple_pos)
+
     def bindings(self, out: Set[str]) -> None:
         out.add(self.var)
 
@@ -107,6 +115,9 @@ class Apply(Expr):
     def __init__(self, op: Op, args: List[Expr]) -> None:
         self.op = op
         self.args = args
+
+    def clone(self) -> "Apply":
+        return Apply(self.op, [a.clone() for a in self.args])
 
     def bindings(self, out: Set[str]) -> None:
         for a in self.args:
@@ -188,6 +199,9 @@ class Cond(Expr):
 
     def __init__(self, clauses: List[Tuple[Expr, Expr]]) -> None:
         self.clauses = clauses
+
+    def clone(self) -> "Cond":
+        return Cond([(c.clone(), r.clone()) for c, r in self.clauses])
 
     def bindings(self, out: Set[str]) -> None:
         for c, r in self.clauses:

@@ -341,6 +341,7 @@ def compile_fts_search(db, atom, binding_map, ctx, handle, meta):
     if opts:
         raise QueryError(f"Unknown parameters for FTS: {sorted(opts)}")
 
+    query_expr = query_expr.clone()
     query_expr.fill_binding_indices(binding_map)
     cols = handle.col_names()
     by_col = dict(atom.pairs)
@@ -355,6 +356,7 @@ def compile_fts_search(db, atom, binding_map, ctx, handle, meta):
         binding_map[bind_score] = len(binding_map)
         score_pos = binding_map[bind_score]
     if filter_expr is not None:
+        filter_expr = filter_expr.clone()
         fmap = {c: i for i, c in enumerate(cols)}
         filter_expr.fill_binding_indices(fmap)
 

@@ -454,11 +454,11 @@ def compile_clause(
         elif isinstance(atom, SearchApplyAtom):
             steps.append(ctx.compile_search(atom, binding_map))
         elif isinstance(atom, UnificationAtom):
-            expr = atom.expr
+            expr = atom.expr.clone()  # clauses share parsed Expr nodes
             expr.fill_binding_indices(binding_map)
             steps.append(StepUnify(atom.var, expr, atom.one_many, binding_map))
         elif isinstance(atom, ExprAtom):
-            expr = atom.expr.fold_const()
+            expr = atom.expr.clone().fold_const()
             expr.fill_binding_indices(binding_map)
             steps.append(StepFilter(expr))
         elif isinstance(atom, NegationAtom):

@@ -283,6 +283,10 @@ class Db:
             if "?" not in prog.rules:
                 raise QueryError("entry rule '?' not found", code="eval::no_entry")
             nf = normalize_program(prog)
+            if not opts.disable_magic_rewrite:
+                from ..query.magic import magic_rewrite
+
+                nf = magic_rewrite(nf)
             strata = stratify_program(nf)
             ctx = EvalContext(
                 tx,

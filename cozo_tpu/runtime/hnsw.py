@@ -396,6 +396,7 @@ def compile_hnsw_search(db, atom, binding_map, ctx, handle, meta):
     if opts:
         raise QueryError(f"unknown HNSW search options {sorted(opts)}")
 
+    query_expr = query_expr.clone()
     query_expr.fill_binding_indices(binding_map)
 
     # base-row column bindings (like a relation scan)
@@ -418,6 +419,7 @@ def compile_hnsw_search(db, atom, binding_map, ctx, handle, meta):
             extra_binds.append(binding_map[name])
 
     if filter_expr is not None:
+        filter_expr = filter_expr.clone()
         fmap = {c: i for i, c in enumerate(cols)}
         filter_expr.fill_binding_indices(fmap)
 

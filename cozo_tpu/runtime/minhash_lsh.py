@@ -229,6 +229,7 @@ def compile_lsh_search(db, atom, binding_map, ctx, handle, meta):
     if opts:
         raise QueryError(f"Unknown parameters for LSH: {sorted(opts)}")
 
+    query_expr = query_expr.clone()
     query_expr.fill_binding_indices(binding_map)
     cols = handle.col_names()
     by_col = dict(atom.pairs)
@@ -241,6 +242,7 @@ def compile_lsh_search(db, atom, binding_map, ctx, handle, meta):
         binding_map[bind_similarity] = len(binding_map)
         sim_pos = binding_map[bind_similarity]
     if filter_expr is not None:
+        filter_expr = filter_expr.clone()
         fmap = {c: i for i, c in enumerate(cols)}
         filter_expr.fill_binding_indices(fmap)
 

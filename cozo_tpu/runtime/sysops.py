@@ -47,6 +47,10 @@ def run_sys_op(db, op: A.SysOp, immutable: bool = False):
         from ..query.stratify import stratify_program
 
         nf = normalize_program(p["prog"])
+        if not p["prog"].out_opts.disable_magic_rewrite:
+            from ..query.magic import magic_rewrite
+
+            nf = magic_rewrite(nf)
         strata = stratify_program(nf)
         rows = []
         for i, stratum in enumerate(strata):

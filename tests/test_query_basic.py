@@ -306,3 +306,12 @@ def test_backup_restore(db, tmp_path):
     db2 = Db("mem")
     db2.restore_backup(path)
     assert db2.run_script("?[a] := *br[a]").rows == [[1], [2]]
+
+
+def test_disjunct_binding_order_isolation(db):
+    """DNF disjuncts share parsed Expr nodes; compiled clauses must not
+    clobber each other's binding indices."""
+    q(db, "?[x, y] <- [[1, 10]] :create dr1 {x => y}")
+    q(db, "?[y, x] <- [[2, 20]] :create dr2 {y => x}")
+    res = q(db, "?[s] := (*dr1[x, y] or *dr2[y, x]), s = x * 100 + y")
+    assert sorted(r[0] for r in res.rows) == [110, 2002]
