@@ -207,6 +207,8 @@ class StepStoredScan(Step):
         self.handle = handle
         self.spec = spec  # one entry per relation column (may be (None, None))
         self.vld_expr = vld_expr
+        # (lo, lo_incl, hi, hi_incl) range hint on the first fresh key column
+        self.bounds = None
         nk = handle.key_arity
         # longest key prefix of consts/bound vars usable as scan prefix
         self.n_prefix = 0
@@ -249,6 +251,9 @@ class StepStoredScan(Step):
         for _, (pv, genvs) in groups.items():
             if vld_ts is not None:
                 rows = list(handle.scan_at_validity(tx, pv, vld_ts))
+            elif self.bounds is not None:
+                lo, lo_i, hi, hi_i = self.bounds
+                rows = list(handle.scan_bounded(tx, pv, lo, lo_i, hi, hi_i))
             elif pv:
                 rows = list(handle.scan_prefix(tx, pv))
             else:
@@ -449,8 +454,10 @@ def compile_clause(
             handle = ctx.tx.get_relation(atom.name)
             handle.ensure_can_read()
             args = _rel_args_positional(atom, handle)
-            spec = _classify_args(args, binding_map)
-            steps.append(StepStoredScan(handle, spec, atom.validity, binding_map))
+            scan_steps = _compile_stored_scan(
+                ctx, handle, args, atom.validity, binding_map, rule.body
+            )
+            steps.extend(scan_steps)
         elif isinstance(atom, SearchApplyAtom):
             steps.append(ctx.compile_search(atom, binding_map))
         elif isinstance(atom, UnificationAtom):
@@ -495,6 +502,111 @@ def compile_clause(
         else:
             aggrs.append((get_aggr(a.name), a.extra_args))
     return CompiledClause(steps, head_pos, aggrs, contained)
+
+
+def _derive_bounds(scan: StepStoredScan, args, body_atoms):
+    """Derive a range hint for the first fresh key column from filter
+    atoms (simplified reference compute_bounds, expr.rs:660)."""
+    from .normalize import ConstantRuleSet  # noqa: F401 (avoid cycle warnings)
+    from ..data.expr import compute_single_bound
+
+    i = scan.n_prefix
+    if i >= scan.handle.key_arity or i >= len(args):
+        return
+    var = args[i]
+    if not isinstance(var, str):
+        return
+    lo, lo_i, hi, hi_i = None, True, None, True
+    for a in body_atoms:
+        if not isinstance(a, ExprAtom):
+            continue
+        expr = a.expr.clone().fold_const()
+        sub = compute_single_bound(expr, var)
+        if sub is None:
+            continue
+        slo, slo_i, shi, shi_i = sub
+        if slo is not None and (lo is None or cmp_key(slo) > cmp_key(lo)):
+            lo, lo_i = slo, slo_i
+        if shi is not None and (hi is None or cmp_key(shi) < cmp_key(hi)):
+            hi, hi_i = shi, shi_i
+    if lo is not None or hi is not None:
+        scan.bounds = (lo, lo_i, hi, hi_i)
+
+
+def _compile_stored_scan(ctx, handle, args, vld_expr, binding_map, body_atoms):
+    """Pick the best access path: base-key prefix scan, or a lateral index
+    whose leading columns are better bound (reference choose_index,
+    relation.rs:196-246), with an optional point-get back to the base."""
+    nk = handle.key_arity
+
+    def is_bound(a):
+        return isinstance(a, Const) or (isinstance(a, str) and a in binding_map)
+
+    base_prefix = 0
+    for i in range(nk):
+        if i < len(args) and args[i] is not None and is_bound(args[i]):
+            base_prefix += 1
+        else:
+            break
+
+    best = None
+    if vld_expr is None:
+        for idx_name, meta in handle.indices.items():
+            if meta.get("kind") != "normal":
+                continue
+            order = list(meta["positions"]) + list(range(nk))
+            p = 0
+            for bp in order:
+                if bp < len(args) and args[bp] is not None and is_bound(args[bp]):
+                    p += 1
+                else:
+                    break
+            if p > base_prefix and (best is None or p > best[2]):
+                best = (idx_name, order, p)
+
+    if best is None:
+        spec = _classify_args(args, binding_map)
+        scan = StepStoredScan(handle, spec, vld_expr, binding_map)
+        _derive_bounds(scan, args, body_atoms)
+        return [scan]
+
+    idx_name, order, _p = best
+    idx_handle = ctx.tx.get_relation(f"{handle.name}:{idx_name}")
+
+    def key_arg(i):
+        # unreferenced base keys get fresh vars bound by the index row so
+        # the base point-get below is fully keyed
+        a = args[i]
+        if a is None:
+            a = f"*ix{id(idx_handle)}_{i}"
+            args[i] = a
+        return a
+
+    # index relation columns: chosen cols, then all base keys
+    idx_args = [
+        (args[bp] if bp < len(args) else None)
+        for bp in handle.indices[idx_name]["positions"]
+    ]
+    for i in range(nk):
+        idx_args.append(key_arg(i))
+    idx_spec = _classify_args(idx_args, binding_map)
+    steps = [StepStoredScan(idx_handle, idx_spec, None, binding_map)]
+    # covering check: every referenced base column available from the index?
+    idx_base_cols = set(handle.indices[idx_name]["positions"]) | set(range(nk))
+    referenced = {i for i, a in enumerate(args) if a is not None}
+    if not referenced <= idx_base_cols:
+        base_args = []
+        for i, a in enumerate(args):
+            if i < nk:
+                base_args.append(key_arg(i))
+            elif i in idx_base_cols and isinstance(a, str):
+                # already bound by the index row; keep as equality check
+                base_args.append(a)
+            else:
+                base_args.append(a)
+        base_spec = _classify_args(base_args, binding_map)
+        steps.append(StepStoredScan(handle, base_spec, None, binding_map))
+    return steps
 
 
 def _rel_args_positional(atom: RelationApplyAtom, handle) -> list:
@@ -575,6 +687,16 @@ def evaluate_strata(
         _eval_stratum(stratum, ctx, limit_hint)
 
 
+def _limit_reached(ctx, limit_hint) -> bool:
+    """Early return once the entry store holds enough rows
+    (reference QueryLimiter, eval.rs:33-62; only engaged when the caller
+    determined no sorting/mutation follows)."""
+    if limit_hint is None:
+        return False
+    store = ctx.stores.get("?")
+    return store is not None and len(store.total) + len(store.new) >= limit_hint
+
+
 def _eval_stratum(stratum: Dict[str, Any], ctx: EvalContext, limit_hint) -> None:
     same = set(stratum)
     # create stores
@@ -625,6 +747,8 @@ def _eval_stratum(stratum: Dict[str, Any], ctx: EvalContext, limit_hint) -> None
             for clause in compiled[name]:
                 for row in clause.eval(ctx, None):
                     store.put_new(list(row))
+                if name == "?" and _limit_reached(ctx, limit_hint):
+                    break
         elif k == "meet":
             for clause in compiled[name]:
                 for row in clause.eval(ctx, None):
@@ -641,6 +765,8 @@ def _eval_stratum(stratum: Dict[str, Any], ctx: EvalContext, limit_hint) -> None
     # --- fixpoint epochs
     while changed:
         ctx.check_poison()
+        if "?" in stratum and _limit_reached(ctx, limit_hint):
+            break
         for name, rs in stratum.items():
             k = kind[name]
             if k in ("const", "fixed", "aggr"):
