@@ -240,13 +240,14 @@ def _device_arrays(index):
     return cache
 
 
-def hnsw_search_device(index, qs: np.ndarray, k: int, ef: int):
+def hnsw_search_device(index, qs: np.ndarray, k: int, ef: int, expand: int = None):
     jax, jnp = _jx()
     dev = _device_arrays(index)
     dist_kind = {"L2": 0, "IP": 1, "Cosine": 2}[index.distance]
     beam = max(ef, k)
     beam = int(math.ceil(beam / 8) * 8)
-    expand = 4
+    if expand is None:
+        expand = int(__import__("os").environ.get("COZO_TPU_HNSW_EXPAND", "8"))
     max_iters = (beam + expand - 1) // expand + 8
     key = (
         dev["n_pad"],
