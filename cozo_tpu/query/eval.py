@@ -184,6 +184,7 @@ class StepRuleScan(Step):
                 if all(value_eq(row[i], v) for i, v in self.const_pos):
                     rows.append(row)
             for env in envs:
+                ctx.tick(len(rows))
                 for row in rows:
                     out.append(env + tuple(row[i] for i, _ in fresh))
             return out
@@ -191,6 +192,7 @@ class StepRuleScan(Step):
         idx = store.index_for(positions, delta)
         cpos = self.const_pos
         for env in envs:
+            ctx.tick()
             k = tuple(cmp_key(env[p]) for _, p in self.bound)
             for row in idx.get(k, ()):
                 if cpos and not all(value_eq(row[i], v) for i, v in cpos):
@@ -259,6 +261,7 @@ class StepStoredScan(Step):
             else:
                 rows = list(handle.scan_all(tx))
             for env in genvs:
+                ctx.tick(len(rows))
                 for row in rows:
                     ok = True
                     for i, (k, v) in self.post:
@@ -378,6 +381,7 @@ class StepFilter(Step):
         ev = self.expr.eval
         out = []
         for env in envs:
+            ctx.tick()
             v = ev(env)
             if v is True:
                 out.append(env)
@@ -642,10 +646,20 @@ class EvalContext:
         self.fixed_rules = fixed_rules
         self.poison = poison
         self._search_compiler = search_compiler
+        self._tick = 0
 
     def check_poison(self):
         if self.poison is not None:
             self.poison.check()
+
+    def tick(self, n: int = 1):
+        """Cheap periodic poison check inside hot step loops
+        (reference checks Poison per batch, db.rs:1926)."""
+        self._tick += n
+        if self._tick >= 16384:
+            self._tick = 0
+            if self.poison is not None:
+                self.poison.check()
 
     def eval_vld(self, expr: Expr) -> int:
         e = expr.fold_const()

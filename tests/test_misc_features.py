@@ -1,0 +1,184 @@
+"""Coverage for auxiliary features: access levels, :returning, time travel
+keywords, imperative statements, multi-index relations, timeouts, json."""
+
+import time
+
+import numpy as np
+import pytest
+
+from cozo_tpu import Db
+from cozo_tpu.utils.errors import CozoError
+
+
+@pytest.fixture()
+def db():
+    return Db("mem")
+
+
+def test_access_levels(db):
+    db.run_script(":create guarded {a}")
+    db.run_script("?[a] <- [[1]] :put guarded {a}")
+    db.run_script("::access_level read_only guarded")
+    with pytest.raises(CozoError):
+        db.run_script("?[a] <- [[2]] :put guarded {a}")
+    assert db.run_script("?[a] := *guarded[a]").rows == [[1]]
+    db.run_script("::access_level hidden guarded")
+    with pytest.raises(CozoError):
+        db.run_script("?[a] := *guarded[a]")
+    db.run_script("::access_level normal guarded")
+    db.run_script("?[a] <- [[2]] :put guarded {a}")
+    # removal protection
+    db.run_script("::access_level protected guarded")
+    with pytest.raises(CozoError):
+        db.run_script("::remove guarded")
+
+
+def test_returning(db):
+    db.run_script(":create ret {k => v}")
+    res = db.run_script("?[k, v] <- [[1, 2]] :put ret {k => v} :returning")
+    assert res.headers == ["_kind", "k", "v"]
+    assert res.rows == [["inserted", 1, 2]]
+    res = db.run_script("?[k] <- [[1]] :rm ret {k} :returning")
+    assert res.rows[0][0] == "deleted"
+
+
+def test_describe(db):
+    db.run_script(":create desc_rel {a}")
+    db.run_script("::describe desc_rel 'my relation'")
+    res = db.run_script("::relations")
+    row = [r for r in res.rows if r[0] == "desc_rel"][0]
+    assert row[-1] == "my relation"
+
+
+def test_timeout(db):
+    db.run_script("?[a] <- [[1]] :create big {a}")
+    with pytest.raises(CozoError):
+        db.run_script(
+            """
+            nums[x] := x in int_range(400)
+            ?[count(s)] := nums[a], nums[b], nums[c], s = a + b + c
+            :timeout 0.2
+            """
+        )
+
+
+def test_sleep_option(db):
+    t0 = time.time()
+    db.run_script("?[a] <- [[1]] :sleep 0.2")
+    assert time.time() - t0 >= 0.2
+
+
+def test_time_travel_keywords(db):
+    db.run_script(":create tt {k: String, at: Validity => v: Int}")
+    db.run_script(
+        "?[k, at, v] <- [['x', 'ASSERT', 1]] :put tt {k, at => v}"
+    )
+    res = db.run_script("?[v] := *tt{k: 'x', v @ 'NOW'}")
+    assert res.rows == [[1]]
+    res = db.run_script("?[v] := *tt{k: 'x', v @ 'END'}")
+    assert res.rows == [[1]]
+    # retraction hides the fact from then on
+    db.run_script("?[k, at, v] <- [['x', 'RETRACT', 0]] :put tt {k, at => v}")
+    res = db.run_script("?[v] := *tt{k: 'x', v @ 'NOW'}")
+    assert res.rows == []
+
+
+def test_imperative_swap_debug_ignore(db, capsys):
+    res = db.run_script(
+        """
+        {?[a] <- [[1]] :replace _l {a}}
+        {?[a] <- [[2]] :replace _r {a}}
+        %swap _l _r
+        %debug _l
+        %ignore_error { ?[a] := *nonexistent[a] :replace _x {a} }
+        %return _l
+        """
+    )
+    assert res.rows == [[2]]
+    assert "_l" in capsys.readouterr().out
+
+
+def test_imperative_if_not_and_chained_return(db):
+    res = db.run_script(
+        """
+        {?[a] <- [] :replace _empty {a}}
+        %if_not _empty
+            %then {?[a] <- [[7]] :replace _out {a}}
+        %end
+        %return _out, _empty
+        """
+    )
+    assert res.rows == [[7]]
+    assert res.next is not None and res.next.rows == []
+
+
+def test_multi_index_same_relation(db):
+    rng = np.random.default_rng(0)
+    db.run_script(
+        ":create item {id: Int => label: String, emb: <F32; 4>}"
+    )
+    rows = [[i, f"label {i} text", rng.standard_normal(4).tolist()] for i in range(20)]
+    db.run_script("?[id, label, emb] <- $rows :put item {id => label, emb}", {"rows": rows})
+    db.run_script("::hnsw create item:vec {dim: 4, m: 8, ef_construction: 20, fields: [emb]}")
+    db.run_script("::fts create item:ft {extractor: label, tokenizer: Simple}")
+    db.run_script("::index create item:by_label {label}")
+    # all three maintained on one write
+    db.run_script(
+        "?[id, label, emb] <- [[99, 'special marker', $e]] :put item {id => label, emb}",
+        {"e": rng.standard_normal(4).tolist()},
+    )
+    assert db.run_script("?[id] := ~item:ft{id | query: 'special', k: 5}").rows == [[99]]
+    assert db.run_script("?[id] := *item{id, label: 'special marker'}").rows == [[99]]
+    res = db.run_script(
+        "?[id] := ~item:vec{id | query: q, k: 1, ef: 10}, q = vec($e)",
+        {"e": rows[5][2]},
+    )
+    assert res.rows == [[5]]
+    rels = db.run_script("::indices item")
+    assert {r[0] for r in rels.rows} == {"vec", "ft", "by_label"}
+
+
+def test_json_column_roundtrip(db):
+    db.run_script(":create jdoc {k: Int => doc: Json}")
+    db.run_script(
+        "?[k, doc] <- [[1, parse_json('{\"a\": {\"b\": 2}}')]] :put jdoc {k => doc}"
+    )
+    res = db.run_script("?[x] := *jdoc[1, doc], x = doc->'a'->'b'")
+    assert res.rows == [[2]]
+
+
+def test_vec_f64_index(db):
+    rng = np.random.default_rng(1)
+    db.run_script(":create dv {id: Int => v: <F64; 4>}")
+    rows = [[i, rng.standard_normal(4).tolist()] for i in range(10)]
+    db.run_script("?[id, v] <- $rows :put dv {id => v}", {"rows": rows})
+    db.run_script(
+        "::hnsw create dv:idx {dim: 4, m: 8, ef_construction: 16, dtype: F64, "
+        "fields: [v], distance: Cosine}"
+    )
+    res = db.run_script(
+        "?[id] := ~dv:idx{id | query: vec($q, 'F64'), k: 1, ef: 8}",
+        {"q": rows[3][1]},
+    )
+    assert res.rows == [[3]]
+
+
+def test_rules_tolerate_semicolons_and_comments(db):
+    res = db.run_script(
+        """
+        # comment line
+        r1[a] <- [[1]]; /* block
+        comment */ r2[a] <- [[2]];
+        ?[a] := r1[a] or r2[a]
+        """
+    )
+    assert res.rows == [[1], [2]]
+
+
+def test_run_script_json_roundtrip(db):
+    import json
+
+    out = json.loads(db.run_script_json("?[a] := a in [1, 2]"))
+    assert out["ok"] is True and out["rows"] == [[1], [2]]
+    out = json.loads(db.run_script_json("?[a] := *missing[a]"))
+    assert out["ok"] is False and "missing" in out["message"]
