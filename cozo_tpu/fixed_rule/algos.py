@@ -130,21 +130,24 @@ class ShortestPathDijkstra(FixedRule):
         goals_rows = None
         if payload.n_inputs() > 2:
             goals_rows = payload.get_input(2).rows()
+
+        sources = []
+        src_rows = []
         for srow in starting:
-            _check(poison)
             skey = cmp_key(srow[0])
-            if skey not in vidx:
-                continue
-            s = vidx[skey]
-            if goals_rows is None:
-                goal_ids = None
-            else:
-                goal_ids = {
-                    vidx[cmp_key(g[0])]
-                    for g in goals_rows
-                    if cmp_key(g[0]) in vidx
-                }
-            dist, parent = _dijkstra(indptr, dst, w, s, goal_ids)
+            if skey in vidx:
+                sources.append(vidx[skey])
+                src_rows.append(srow)
+
+        goal_ids = None
+        if goals_rows is not None:
+            goal_ids = {
+                vidx[cmp_key(g[0])] for g in goals_rows if cmp_key(g[0]) in vidx
+            }
+
+        use_device = len(dst) >= TPU_EDGE_THRESHOLD and len(sources) > 0
+
+        def emit(srow, s, dist, parent):
             targets = goal_ids if goal_ids is not None else range(len(verts))
             for g in targets:
                 if not math.isfinite(dist[g]):
@@ -157,6 +160,27 @@ class ShortestPathDijkstra(FixedRule):
                 out_put(
                     [srow[0], verts[g], float(dist[g]), [verts[p] for p in path]]
                 )
+
+        if use_device:
+            try:
+                from ..ops.graph_algos import sssp_device
+
+                # chunk sources so [S, E] relaxation buffers fit in HBM
+                chunk = max(1, (1 << 27) // max(len(dst), 1))
+                for i in range(0, len(sources), chunk):
+                    _check(poison)
+                    srcs = sources[i : i + chunk]
+                    dists, parents = sssp_device(indptr, dst, w, srcs)
+                    for j, s in enumerate(srcs):
+                        emit(src_rows[i + j], s, dists[j], parents[j])
+                _ = keep_ties
+                return
+            except Exception:  # pragma: no cover — device fallback
+                pass
+        for srow, s in zip(src_rows, sources):
+            _check(poison)
+            dist, parent = _dijkstra(indptr, dst, w, s, goal_ids)
+            emit(srow, s, dist, parent)
         _ = keep_ties  # tie enumeration is a follow-up refinement
 
 

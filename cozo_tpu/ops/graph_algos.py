@@ -122,3 +122,96 @@ def pagerank(indptr, dst, theta=0.85, epsilon=1e-4, iterations=10, use_tpu=False
     return pagerank_numpy(
         indptr, dst, theta=theta, epsilon=epsilon, iterations=iterations
     )
+
+
+# ---------------------------------------------------------------------------
+# batched single-source shortest paths (device Bellman-Ford relaxation)
+
+
+_SSSP_CACHE = {}
+
+
+def _sssp_compiled(n_pad: int, e_pad: int, max_iters: int):
+    jax, jnp = _jax()
+
+    @jax.jit
+    def run(src, dst, w, dist0):
+        """src/dst [E]; w [E]; dist0 [S, n_pad] → (dist, parent [S, n_pad]).
+
+        Edge-parallel relaxation: every iteration relaxes ALL edges for ALL
+        sources at once (segment-min over the edge axis) — the spMV-style
+        dual of Dijkstra that maps onto the VPU, converging in diameter
+        iterations (SURVEY.md §7.5: delta-stepping/Bellman-Ford relaxations
+        instead of a binary heap)."""
+
+        S = dist0.shape[0]
+
+        def cond(state):
+            i, dist, parent, changed = state
+            return jnp.logical_and(i < max_iters, changed)
+
+        def body(state):
+            i, dist, parent, _ = state
+            cand = dist[:, src] + w[None, :]  # [S, E]
+            # min over incoming edges per node
+            new_dist = jax.vmap(
+                lambda c: jax.ops.segment_min(c, dst, num_segments=n_pad)
+            )(cand)
+            new_dist = jnp.minimum(new_dist, dist)
+            improved = new_dist < dist
+            # pick a witness edge per improved node: max edge id among
+            # edges achieving the new minimum
+            achieves = cand <= new_dist[:, dst] + 0.0
+            eids = jnp.arange(e_pad, dtype=jnp.int32)
+            witness = jax.vmap(
+                lambda a: jax.ops.segment_max(
+                    jnp.where(a, eids, -1), dst, num_segments=n_pad
+                )
+            )(achieves)
+            new_parent = jnp.where(
+                improved & (witness >= 0), src[jnp.where(witness >= 0, witness, 0)],
+                parent,
+            )
+            changed = jnp.any(improved)
+            return i + 1, new_dist, new_parent, changed
+
+        parent0 = jnp.full(dist0.shape, -1, dtype=jnp.int32)
+        _, dist, parent, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), dist0, parent0, jnp.bool_(True))
+        )
+        return dist, parent
+
+    return run
+
+
+def sssp_device(indptr, dst, w, sources, max_iters: int = 512):
+    """Batched SSSP over CSR; returns (dist [S, n], parent [S, n]) numpy."""
+    jax, jnp = _jax()
+    n = len(indptr) - 1
+    e = len(dst)
+    n_pad = _pad_pow2(n + 1)
+    e_pad = _pad_pow2(max(e, 1))
+    dummy = n_pad - 1
+    src = np.repeat(np.arange(n, dtype=np.int32), np.diff(indptr))
+    src_p = np.full(e_pad, dummy, dtype=np.int32)
+    dst_p = np.full(e_pad, dummy, dtype=np.int32)
+    w_p = np.full(e_pad, np.inf, dtype=np.float32)
+    src_p[:e] = src
+    dst_p[:e] = dst
+    w_p[:e] = w
+    S = len(sources)
+    dist0 = np.full((S, n_pad), np.inf, dtype=np.float32)
+    for i, s in enumerate(sources):
+        dist0[i, s] = 0.0
+    key = (n_pad, e_pad, max_iters)
+    fn = _SSSP_CACHE.get(key)
+    if fn is None:
+        fn = _sssp_compiled(n_pad, e_pad, max_iters)
+        _SSSP_CACHE[key] = fn
+    dist, parent = fn(
+        jnp.asarray(src_p), jnp.asarray(dst_p), jnp.asarray(w_p), jnp.asarray(dist0)
+    )
+    return (
+        np.asarray(dist)[:, :n].astype(np.float64),
+        np.asarray(parent)[:, :n].astype(np.int64),
+    )

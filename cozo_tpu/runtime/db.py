@@ -109,6 +109,7 @@ class Db:
         self._rel_locks: Dict[str, threading.RLock] = {}
         self._rel_locks_guard = threading.Lock()
         self.algo_cache: Dict[str, Any] = {}
+        self._handle_cache: Dict[str, Any] = {}
 
     # ------------------------------------------------------------------ public
 
@@ -204,7 +205,12 @@ class Db:
     # -------------------------------------------------------------- query path
 
     def _new_session(self, write: bool, cur_vld: int) -> SessionTx:
-        return SessionTx(self.storage.transact(write=write), MemStorage(), cur_vld)
+        return SessionTx(
+            self.storage.transact(write=write),
+            MemStorage(),
+            cur_vld,
+            handle_cache=self._handle_cache,
+        )
 
     def _register_running(self, poison: Poison, payload: str) -> int:
         with self._running_lock:

@@ -16,12 +16,16 @@ class SessionTx:
         store_tx: StoreTx,
         temp_store: Storage,
         cur_vld: int,
+        handle_cache: Optional[dict] = None,
     ) -> None:
         self.store_tx = store_tx
         self.temp_store = temp_store
         self.temp_tx = temp_store.transact(write=True)
         self.cur_vld = cur_vld
         self._rel_cache: Dict[str, RelationHandle] = {}
+        # db-level (raw_bytes, handle) cache shared across queries; validated
+        # against the raw catalog bytes so DDL invalidates naturally
+        self._shared_cache = handle_cache
 
     # --- relations ------------------------------------------------------------
 
@@ -30,13 +34,23 @@ class SessionTx:
         if cached is not None and not for_update:
             return cached
         tx = self.temp_tx if name.startswith("_") else self.store_tx
-        h = Catalog.get(tx, name)
-        if h is None:
+        raw = tx.get(Catalog.meta_key(name))
+        if raw is None:
             raise QueryError(
                 f"stored relation '{name}' not found", code="query::relation_not_found"
             )
+        shared = self._shared_cache if not name.startswith("_") else None
+        if shared is not None and not for_update:
+            ent = shared.get(name)
+            if ent is not None and ent[0] == raw:
+                h = ent[1]
+                self._rel_cache[name] = h
+                return h
+        h = RelationHandle.from_json(raw.decode("utf-8"))
         h.is_temp = name.startswith("_")
         self._rel_cache[name] = h
+        if shared is not None and not for_update:
+            shared[name] = (raw, h)
         return h
 
     def relation_exists(self, name: str) -> bool:
