@@ -208,3 +208,31 @@ def test_hnsw_query_joined_with_rule(db):
     )
     ks = sorted(r[0] for r in res.rows)
     assert ks == [3, 5]
+
+
+def test_hybrid_proximity_graph_community(db):
+    """BASELINE config 5 (downscaled): recursive Datalog + HNSW proximity
+    graph + community detection on that graph."""
+    seed_vectors(db, 80, 8)
+    db.run_script(
+        "::hnsw create vecs:idx {dim: 8, m: 8, ef_construction: 40, fields: [v]}"
+    )
+    # communities over the HNSW level-0 proximity graph, queried as a relation
+    res = db.run_script(
+        """
+        edges[fr, to] := *vecs:idx{layer: 0, fr_k: fr, to_k: to}, fr != to
+        ?[label, node] <~ CommunityDetectionLouvain(edges[fr, to])
+        """
+    )
+    assert len(res.rows) == 80
+    # hybrid recursion: nearest neighbor of the nearest neighbor
+    res = db.run_script(
+        """
+        first[k, v2] := ~vecs:idx{k, v: v2 | query: q, k: 1, ef: 20},
+                        q = vec($q)
+        ?[k2] := first[k, v2], ~vecs:idx{k: k2 | query: v2, k: 2, ef: 20},
+                 k2 != k
+        """,
+        {"q": [float(i) for i in range(8)]},
+    )
+    assert len(res.rows) >= 1
