@@ -163,14 +163,17 @@ class ShortestPathDijkstra(FixedRule):
 
         if use_device:
             try:
-                from ..ops.graph_algos import sssp_device
+                from ..ops.graph_algos import graph_content_key, sssp_device
 
+                ck = graph_content_key(indptr, dst)
                 # chunk sources so [S, E] relaxation buffers fit in HBM
                 chunk = max(1, (1 << 27) // max(len(dst), 1))
                 for i in range(0, len(sources), chunk):
                     _check(poison)
                     srcs = sources[i : i + chunk]
-                    dists, parents = sssp_device(indptr, dst, w, srcs)
+                    dists, parents = sssp_device(
+                        indptr, dst, w, srcs, cache_key=ck
+                    )
                     for j, s in enumerate(srcs):
                         emit(src_rows[i + j], s, dists[j], parents[j])
                 _ = keep_ties
