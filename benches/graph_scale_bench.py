@@ -34,13 +34,18 @@ def main():
     print(f"# generating {n_nodes} nodes / {n_edges} edges", file=sys.stderr)
     indptr, dst = make_graph(n_nodes, n_edges)
 
-    from cozo_tpu.ops.graph_algos import pagerank_jax, sssp_device
+    from cozo_tpu.ops.graph_algos import (
+        graph_content_key,
+        pagerank_jax,
+        sssp_device,
+    )
 
+    ck = graph_content_key(indptr, dst)
     t0 = time.time()
-    ranks = pagerank_jax(indptr, dst, iterations=10)
+    ranks = pagerank_jax(indptr, dst, iterations=10, cache_key=ck)
     warm = time.time() - t0
     t0 = time.time()
-    ranks = pagerank_jax(indptr, dst, iterations=10)
+    ranks = pagerank_jax(indptr, dst, iterations=10, cache_key=ck)
     dt = time.time() - t0
     medges = 10 * n_edges / dt / 1e6
     print(
@@ -50,7 +55,7 @@ def main():
 
     w = np.ones(len(dst), dtype=np.float32)
     t0 = time.time()
-    dists, parents = sssp_device(indptr, dst, w, [0])
+    dists, parents = sssp_device(indptr, dst, w, [0], cache_key=ck + "w")
     dt = time.time() - t0
     reached = int(np.isfinite(dists[0]).sum())
     print(f"sssp 1 source: {dt:.2f}s (reached {reached} nodes)")
