@@ -218,9 +218,7 @@ def _sssp_compiled(n_pad: int, e_pad: int, max_iters: int):
                 # witness = source of some edge achieving the chunk minimum
                 wit = jax.vmap(
                     lambda a: jax.ops.segment_max(
-                        jnp.where(a, s[None, :] if False else s, -1),
-                        d,
-                        num_segments=n_pad,
+                        jnp.where(a, s, -1), d, num_segments=n_pad
                     )
                 )(achieves)
                 better = cd < nd
