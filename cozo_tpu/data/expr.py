@@ -239,6 +239,31 @@ class Cond(Expr):
         return f"Cond({self.clauses!r})"
 
 
+class ParamRef(Expr):
+    """Late-bound parameter placeholder (template-cached plans): replaced
+    by a Const per execution in `query/template.py`."""
+
+    __slots__ = ("name",)
+
+    def __init__(self, name: str) -> None:
+        self.name = name
+
+    def clone(self) -> "ParamRef":
+        return ParamRef(self.name)
+
+    def fill_binding_indices(self, binding_map) -> None:
+        raise QueryError(f"parameter ${self.name} was not substituted")
+
+    def eval(self, tup):
+        raise EvalError(f"parameter ${self.name} was not substituted")
+
+    def eval_env(self, env):
+        raise EvalError(f"parameter ${self.name} was not substituted")
+
+    def __repr__(self) -> str:
+        return f"ParamRef(${self.name})"
+
+
 class UnboundApply(Expr):
     """A named function not in the registry; resolved against custom ops at
     compile time or an error."""

@@ -72,11 +72,17 @@ def _is_aggr(name: str) -> bool:
 
 
 class Parser:
-    def __init__(self, src: str, params: Optional[Dict[str, Any]] = None) -> None:
+    def __init__(
+        self,
+        src: str,
+        params: Optional[Dict[str, Any]] = None,
+        defer_params: bool = False,
+    ) -> None:
         self.src = src
         self.toks = tokenize(src)
         self.pos = 0
         self.params = params or {}
+        self.defer_params = defer_params
 
     # --- token helpers -------------------------------------------------------
 
@@ -192,9 +198,13 @@ class Parser:
             return Const(t.val)
         if t.kind == PARAM:
             self.next()
+            if self.defer_params:
+                from ..data.expr import ParamRef
+
+                return ParamRef(t.val)
             if t.val not in self.params:
                 raise self.err(f"Required parameter {t.val} not found", t)
-            from ..data.value import deep_freeze, from_json
+            from ..data.value import deep_freeze
 
             return Const(deep_freeze(self.params[t.val]))
         if t.kind == PUNCT and t.text == "(":
@@ -1157,8 +1167,12 @@ class Parser:
         return name
 
 
-def parse_script(src: str, params: Optional[Dict[str, Any]] = None):
-    return Parser(src, params).parse_script()
+def parse_script(
+    src: str,
+    params: Optional[Dict[str, Any]] = None,
+    defer_params: bool = False,
+):
+    return Parser(src, params, defer_params=defer_params).parse_script()
 
 
 def parse_expressions(src: str, params: Optional[Dict[str, Any]] = None) -> Expr:

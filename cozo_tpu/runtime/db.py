@@ -110,6 +110,9 @@ class Db:
         self._rel_locks_guard = threading.Lock()
         self.algo_cache: Dict[str, Any] = {}
         self._handle_cache: Dict[str, Any] = {}
+        # script-text → parsed template (params deferred) | None (uncacheable)
+        self._plan_cache: Dict[str, Any] = {}
+        self._plan_cache_max = 256
 
     # ------------------------------------------------------------------ public
 
@@ -120,12 +123,41 @@ class Db:
         immutable: bool = False,
     ) -> NamedRows:
         cur_vld = current_validity_ts()
+        prog = self._parse_cached(payload, params or {})
+        if prog is not None:
+            return self._execute_single(prog, cur_vld, immutable)
         script = parse_script(payload, params or {})
         if isinstance(script, A.SysScript):
             return self.run_sys_op(script.op, immutable)
         if isinstance(script, A.ImperativeScript):
             return self._execute_imperative(script, cur_vld, immutable)
         return self._execute_single(script.prog, cur_vld, immutable)
+
+    def _parse_cached(self, payload: str, params: Dict[str, Any]):
+        """Template cache: parse query scripts once with deferred params,
+        clone + substitute per execution (see query/template.py)."""
+        from ..query.template import NotTemplatable, instantiate
+
+        entry = self._plan_cache.get(payload)
+        if entry is None and payload not in self._plan_cache:
+            entry = None
+            try:
+                t = parse_script(payload, defer_params=True)
+                if isinstance(t, A.QueryScript):
+                    instantiate(t.prog, None) if "$" not in payload else None
+                    entry = t.prog
+            except (CozoError, NotTemplatable):
+                entry = None
+            if len(self._plan_cache) >= self._plan_cache_max:
+                self._plan_cache.pop(next(iter(self._plan_cache)))
+            self._plan_cache[payload] = entry
+        if entry is None:
+            return None
+        try:
+            return instantiate(entry, params)
+        except NotTemplatable:
+            self._plan_cache[payload] = None
+            return None
 
     def run_script_json(self, payload: str, params_json: str = "{}") -> str:
         """String-in/string-out convenience (reference `lib.rs:244` adds
