@@ -70,6 +70,8 @@ class HnswIndex:
         self._free: List[int] = []
         # slots whose adjacency changed since last KV sync
         self.dirty: set = set()
+        # slots changed since the device mirror was last refreshed
+        self.dev_pending: set = set()
 
     # ------------------------------------------------------------------ sizing
 
@@ -167,6 +169,7 @@ class HnswIndex:
         self.levels[slot] = level
         self.alive[slot] = True
         self.dirty.add(slot)
+        self.dev_pending.add(slot)
         self._ensure_level(level)
         for l in range(level + 1):
             self.neighbors[l][slot, :] = -1
@@ -308,6 +311,7 @@ class HnswIndex:
     def _set_neighbors(self, level: int, slot: int, neighbors: List[int]) -> None:
         mmax = self.m_max0 if level == 0 else self.m_max
         self.dirty.add(slot)
+        self.dev_pending.add(slot)
         row = self.neighbors[level][slot]
         row[:] = -1
         row[: min(len(neighbors), mmax)] = neighbors[:mmax]
@@ -315,6 +319,7 @@ class HnswIndex:
     def _add_link(self, level: int, frm: int, to: int) -> None:
         mmax = self.m_max0 if level == 0 else self.m_max
         self.dirty.add(frm)
+        self.dev_pending.add(frm)
         row = self.neighbors[level][frm]
         for i in range(mmax):
             if row[i] == to:
@@ -338,6 +343,7 @@ class HnswIndex:
             return
         self.alive[slot] = False
         self.dirty.add(slot)
+        self.dev_pending.add(slot)
         level = int(self.levels[slot])
         for l in range(min(level, len(self.neighbors) - 1) + 1):
             nb = self.neighbors[l]
@@ -347,6 +353,7 @@ class HnswIndex:
                     row = nb[int(x)]
                     row[row == slot] = -1
                     self.dirty.add(int(x))
+                    self.dev_pending.add(int(x))
             nb[slot, :] = -1
         self.levels[slot] = -1
         self._free.append(slot)
@@ -524,6 +531,7 @@ class HnswIndex:
                 self.levels[slot] = level
                 self.alive[slot] = True
                 self.dirty.add(slot)
+                self.dev_pending.add(slot)
                 self._ensure_level(level)
                 for l in range(level + 1):
                     self.neighbors[l][slot, :] = -1

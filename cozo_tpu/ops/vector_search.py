@@ -205,12 +205,41 @@ def _compiled_search(
     return run
 
 
+_UPDATE_FNS = {}
+
+
+def _update_fn(n_pad, d, m0, n_levels, m_up, u_pad):
+    """Jitted dirty-slot scatter into the resident device mirror."""
+    jax, jnp = _jx()
+    key = (n_pad, d, m0, n_levels, m_up, u_pad)
+    fn = _UPDATE_FNS.get(key)
+    if fn is not None:
+        return fn
+
+    @jax.jit
+    def run(vectors, nb0, up_nb, alive, idxs, new_vecs, new_nb0, new_up, new_alive):
+        vectors = vectors.at[idxs].set(new_vecs)
+        nb0 = nb0.at[idxs].set(new_nb0)
+        up_nb = up_nb.at[:, idxs].set(jnp.swapaxes(new_up, 0, 1))
+        alive = alive.at[idxs].set(new_alive)
+        return vectors, nb0, up_nb, alive
+
+    _UPDATE_FNS[key] = run
+    return run
+
+
 def _device_arrays(index):
-    """Push the index arrays to device, cached by index.version."""
+    """Push the index arrays to device, cached by index.version; small
+    mutation sets apply as dirty-slot scatters instead of a full re-push
+    (the host↔device link is the bottleneck, see BENCH_NOTES)."""
     jax, jnp = _jx()
     cache = getattr(index, "_dev_cache", None)
     if cache is not None and cache["version"] == index.version:
         return cache
+    if cache is not None:
+        updated = _try_incremental_update(index, cache)
+        if updated is not None:
+            return updated
     n = max(index.n, 1)
     n_pad = _pad_pow2(n)
     d = index.dim
@@ -237,6 +266,59 @@ def _device_arrays(index):
         "entry": int(index.entry),
     }
     index._dev_cache = cache
+    index.dev_pending.clear()
+    return cache
+
+
+def _try_incremental_update(index, cache):
+    jax, jnp = _jx()
+    n_pad = cache["n_pad"]
+    n_levels_now = len(index.neighbors) - 1
+    pending = index.dev_pending
+    if (
+        index.n > n_pad
+        or n_levels_now != cache["n_levels"]
+        or not pending
+        or len(pending) > max(1024, n_pad // 16)
+    ):
+        return None
+    idxs = np.fromiter(sorted(pending), dtype=np.int32)
+    u = len(idxs)
+    u_pad = _pad_pow2(u)
+    # pad by repeating the first slot (idempotent double-writes)
+    idxs_p = np.full(u_pad, idxs[0], dtype=np.int32)
+    idxs_p[:u] = idxs
+    d = index.dim
+    m0 = index.m_max0
+    m_up = cache["m_up"]
+    n_levels = cache["n_levels"]
+    new_vecs = index.vectors[idxs_p].astype(np.float32)
+    new_nb0 = index.neighbors[0][idxs_p]
+    new_up = np.full((u_pad, max(n_levels, 1), m_up), -1, dtype=np.int32)
+    for l in range(1, n_levels + 1):
+        new_up[:, l - 1, :] = index.neighbors[l][idxs_p, :m_up]
+    new_alive = index.alive[idxs_p]
+    fn = _update_fn(n_pad, d, m0, max(n_levels, 1), m_up, u_pad)
+    vectors, nb0, up_nb, alive = fn(
+        cache["vectors"],
+        cache["nb0"],
+        cache["up_nb"],
+        cache["alive"],
+        jnp.asarray(idxs_p),
+        jnp.asarray(new_vecs),
+        jnp.asarray(new_nb0),
+        jnp.asarray(new_up),
+        jnp.asarray(new_alive),
+    )
+    cache.update(
+        version=index.version,
+        vectors=vectors,
+        nb0=nb0,
+        up_nb=up_nb,
+        alive=alive,
+        entry=int(index.entry),
+    )
+    pending.clear()
     return cache
 
 

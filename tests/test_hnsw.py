@@ -236,3 +236,28 @@ def test_hybrid_proximity_graph_community(db):
         {"q": [float(i) for i in range(8)]},
     )
     assert len(res.rows) >= 1
+
+
+def test_incremental_device_update_consistency():
+    """Mutations apply to the device mirror as dirty-slot scatters; results
+    must match a full re-push."""
+    import numpy as np
+
+    from cozo_tpu.models.hnsw_index import HnswIndex
+    from cozo_tpu.ops.vector_search import hnsw_search_device
+
+    rng = np.random.default_rng(4)
+    data = rng.standard_normal((400, 8)).astype(np.float32)
+    idx = HnswIndex(dim=8, m=8, ef_construction=30)
+    slots = [idx.insert(v) for v in data]
+    qs = rng.standard_normal((4, 8)).astype(np.float32)
+    hnsw_search_device(idx, qs, 3, 16)
+    cache_before = idx._dev_cache
+    idx.insert(data[7] + 0.001)
+    idx.remove(slots[2])
+    ids_inc, d_inc = hnsw_search_device(idx, qs, 3, 16)
+    assert idx._dev_cache is cache_before  # incremental, not rebuilt
+    idx._dev_cache = None
+    ids_full, d_full = hnsw_search_device(idx, qs, 3, 16)
+    assert np.array_equal(ids_inc, ids_full)
+    assert np.allclose(d_inc, d_full)
