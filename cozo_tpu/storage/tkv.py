@@ -50,10 +50,12 @@ def _lib():
         ctypes.c_void_p,
         ctypes.c_char_p,
         ctypes.c_size_t,
-        ctypes.POINTER(ctypes.c_char_p),
+        ctypes.POINTER(ctypes.c_void_p),
         ctypes.POINTER(ctypes.c_size_t),
         ctypes.POINTER(ctypes.c_uint64),
     ]
+    lib.tkv_free.restype = None
+    lib.tkv_free.argtypes = [ctypes.c_void_p]
     lib.tkv_iter.restype = ctypes.c_void_p
     lib.tkv_iter.argtypes = [
         ctypes.c_void_p,
@@ -126,7 +128,7 @@ class TkvTx(StoreTx):
         if for_update and self.read_set is not None:
             self.read_set.add(key)
         lib = _lib()
-        v = ctypes.c_char_p()
+        v = ctypes.c_void_p()
         vlen = ctypes.c_size_t()
         seq = ctypes.c_uint64()
         found = lib.tkv_get(
@@ -135,7 +137,10 @@ class TkvTx(StoreTx):
         )
         if not found:
             return None
-        return ctypes.string_at(v, vlen.value)
+        try:
+            return ctypes.string_at(v, vlen.value)
+        finally:
+            lib.tkv_free(v)
 
     def _base_scan(self, lower: bytes, upper: bytes, reverse: bool):
         lib = _lib()

@@ -12,6 +12,7 @@
 
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <map>
 #include <memory>
@@ -116,20 +117,23 @@ uint64_t tkv_seq(void* h) {
     return db->seq;
 }
 
-// returns 1 if found; caller provides buffer via tkv_last_*
-int tkv_get(void* h, const char* k, size_t klen, const char** v, size_t* vlen,
+// returns 1 if found; *v is a malloc'd copy the caller must tkv_free —
+// returning interior pointers would race with concurrent commits once the
+// shared lock is released
+int tkv_get(void* h, const char* k, size_t klen, char** v, size_t* vlen,
             uint64_t* mod_seq) {
     auto* db = static_cast<Db*>(h);
     std::shared_lock lk(db->mu);
     auto it = db->data.find(std::string(k, klen));
     if (it == db->data.end()) return 0;
-    // note: pointer valid until the key is modified; the Python layer
-    // copies immediately under the GIL
-    *v = it->second.value.data();
     *vlen = it->second.value.size();
+    *v = static_cast<char*>(malloc(*vlen ? *vlen : 1));
+    memcpy(*v, it->second.value.data(), *vlen);
     if (mod_seq) *mod_seq = it->second.mod_seq;
     return 1;
 }
+
+void tkv_free(char* p) { free(p); }
 
 void* tkv_iter(void* h, const char* lo, size_t lo_len, const char* hi,
                size_t hi_len, int reverse) {
