@@ -182,3 +182,78 @@ def test_run_script_json_roundtrip(db):
     assert out["ok"] is True and out["rows"] == [[1], [2]]
     out = json.loads(db.run_script_json("?[a] := *missing[a]"))
     assert out["ok"] is False and "missing" in out["message"]
+
+
+def test_ensure_and_ensure_not(db):
+    db.run_script(":create ens {k => v}")
+    db.run_script("?[k, v] <- [[1, 2]] :put ens {k => v}")
+    db.run_script("?[k, v] <- [[1, 2]] :ensure ens {k => v}")
+    with pytest.raises(CozoError):
+        db.run_script("?[k, v] <- [[1, 3]] :ensure ens {k => v}")
+    with pytest.raises(CozoError):
+        db.run_script("?[k] <- [[1]] :ensure_not ens {k}")
+    db.run_script("?[k] <- [[9]] :ensure_not ens {k}")
+
+
+def test_replace_preserves_triggers(db):
+    db.run_script(":create rp {k}")
+    db.run_script(":create rp_log {k}")
+    db.run_script("::set_triggers rp on put { ?[k] := _new[k] :put rp_log {k} }")
+    db.run_script("?[k] <- [[5]] :replace rp {k}")
+    db.run_script("?[k] <- [[6]] :put rp {k}")
+    res = db.run_script("?[k] := *rp_log[k]")
+    assert [6] in res.rows  # triggers survive :replace (stored.rs:123-125)
+
+
+def test_rm_trigger_sees_old_rows(db):
+    db.run_script(":create rt {k => v}")
+    db.run_script(":create rt_graveyard {k => v}")
+    db.run_script(
+        "::set_triggers rt on rm { ?[k, v] := _old[k, v] :put rt_graveyard {k => v} }"
+    )
+    db.run_script("?[k, v] <- [[1, 10]] :put rt {k => v}")
+    db.run_script("?[k] <- [[1]] :rm rt {k}")
+    res = db.run_script("?[k, v] := *rt_graveyard[k, v]")
+    assert res.rows == [[1, 10]]
+
+
+def test_uuid_keys(db):
+    db.run_script(":create urel {id: Uuid => v: Int}")
+    db.run_script(
+        "?[id, v] <- [[to_uuid('f1b2c3d4-aaaa-bbbb-cccc-deadbeef0001'), 7]] "
+        ":put urel {id => v}"
+    )
+    res = db.run_script(
+        "?[v] := *urel{id: to_uuid('f1b2c3d4-aaaa-bbbb-cccc-deadbeef0001'), v}"
+    )
+    assert res.rows == [[7]]
+
+
+def test_reorder_sort_skip_take(db):
+    res = db.run_script(
+        "r[a] <- [[5],[3],[1],[4],[2]]; "
+        "?[rank, v] <~ ReorderSort(r[a], out: [a], sort_by: a, skip: 1, take: 2)"
+    )
+    assert res.rows == [[2, 2], [3, 3]]
+
+
+def test_limit_early_return_correct(db):
+    db.run_script("?[a] <- $rows :create big_lim {a}", {"rows": [[i] for i in range(5000)]})
+    res = db.run_script("?[a] := *big_lim[a] :limit 3")
+    assert len(res.rows) == 3
+
+
+def test_bytes_values(db):
+    db.run_script(":create brel {k: Bytes => v}")
+    db.run_script(
+        "?[k, v] <- [[decode_base64('AQI='), 1]] :put brel {k => v}"
+    )
+    res = db.run_script("?[v] := *brel{k: decode_base64('AQI='), v}")
+    assert res.rows == [[1]]
+
+
+def test_list_column_type_enforcement(db):
+    db.run_script(":create lrel {k => v: [Int]}")
+    db.run_script("?[k, v] <- [[1, [1, 2]]] :put lrel {k => v}")
+    with pytest.raises(CozoError):
+        db.run_script("?[k, v] <- [[2, 'notalist']] :put lrel {k => v}")
