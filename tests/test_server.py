@@ -96,3 +96,64 @@ def test_auth():
             assert json.loads(resp.read())["ok"]
     finally:
         srv.shutdown()
+
+
+def test_remote_custom_rule(server_url):
+    """Remote fixed rules over HTTP (reference server.rs:521-568): register
+    a rule, query blocks until a client posts the result."""
+    import threading
+    import time
+
+    post(server_url, "/rules/RemoteDouble", {"arity": 1, "timeout": 30})
+
+    result = {}
+
+    def run_query():
+        out = post(
+            server_url,
+            "/text-query",
+            {"script": "?[x] <~ RemoteDouble()"},
+        )
+        result["out"] = out
+
+    t = threading.Thread(target=run_query)
+    t.start()
+    # wait until the rule is pending, then deliver rows
+    for _ in range(100):
+        time.sleep(0.05)
+        try:
+            r = post(server_url, "/rules/RemoteDouble/result", {"rows": [[2], [4]]})
+            if r.get("ok"):
+                break
+        except Exception:
+            continue
+    t.join(timeout=30)
+    assert result["out"]["ok"] is True
+    assert result["out"]["rows"] == [[2], [4]]
+
+
+def test_sse_change_stream(server_url):
+    """SSE change streams (reference server.rs:629)."""
+    import threading
+    import time
+    import urllib.request
+
+    post(server_url, "/text-query", {"script": ":create sse_rel {k}"})
+    events = []
+
+    def listen():
+        req = urllib.request.Request(server_url + "/changes/sse_rel")
+        with urllib.request.urlopen(req, timeout=20) as resp:
+            for raw in resp:
+                line = raw.decode("utf-8").strip()
+                if line.startswith("data: "):
+                    events.append(json.loads(line[len("data: "):]))
+                    return
+
+    t = threading.Thread(target=listen, daemon=True)
+    t.start()
+    time.sleep(0.5)  # let the callback register
+    post(server_url, "/text-query", {"script": "?[k] <- [[42]] :put sse_rel {k}"})
+    t.join(timeout=15)
+    assert events and events[0]["op"] == "Put"
+    assert events[0]["new"] == [[42]]
