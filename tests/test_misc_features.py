@@ -257,3 +257,53 @@ def test_list_column_type_enforcement(db):
     db.run_script("?[k, v] <- [[1, [1, 2]]] :put lrel {k => v}")
     with pytest.raises(CozoError):
         db.run_script("?[k, v] <- [[2, 'notalist']] :put lrel {k => v}")
+
+
+def test_csv_reader(db, tmp_path):
+    p = tmp_path / "data.csv"
+    p.write_text("id,name,score\n1,alice,9.5\n2,bob,8.0\nbad,row,x\n")
+    res = db.run_script(
+        "?[id, name, score] <~ CsvReader(url: $u, "
+        "types: ['Int', 'String', 'Float'], has_headers: true)",
+        {"u": f"file://{p}"},
+    )
+    assert sorted(res.rows) == [[1, "alice", 9.5], [2, "bob", 8.0]]
+
+
+def test_json_reader(db, tmp_path):
+    p = tmp_path / "data.jsonl"
+    p.write_text('{"a": 1, "b": "x"}\n{"a": 2}\n')
+    res = db.run_script(
+        "?[a, b] <~ JsonReader(url: $u, fields: ['a', 'b'], null_if_absent: true)",
+        {"u": f"file://{p}"},
+    )
+    assert sorted(res.rows, key=str) == [[1, "x"], [2, None]]
+
+
+def test_labeled_loop_break(db):
+    res = db.run_script(
+        """
+        {?[a] <- [[0]] :replace _c {a}}
+        %mark outer
+        %loop
+            %loop
+                {?[a] := *_c[b], a = b + 1 :replace _c {a}}
+                %if { ?[x] := *_c[x], x >= 3 }
+                    %then %break outer
+                %end
+            %end
+        %end
+        %return _c
+        """
+    )
+    assert res.rows == [[3]]
+
+
+def test_compact_all_engines(tmp_path):
+    for engine, path in (("mem", ""), ("sqlite", str(tmp_path / "c.db")),
+                         ("tkv", str(tmp_path / "c.tkv"))):
+        d = Db(engine, path)
+        d.run_script(":create c1 {a}")
+        d.run_script("?[a] <- [[1]] :put c1 {a}")
+        d.run_script("::compact")
+        assert d.run_script("?[a] := *c1[a]").rows == [[1]]
