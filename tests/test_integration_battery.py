@@ -253,3 +253,66 @@ def test_degree_centrality(db):
 def test_clustering_coefficients(db):
     res = db.run_script("?[n, cc, tri, deg] <~ ClusteringCoefficients(*route[fr, to])")
     assert len(res.rows) == 26
+
+
+def test_astar(db):
+    res = db.run_script(
+        """
+        st[x] <- [['A']]
+        en[x] <- [['E']]
+        ?[s, g, c, p] <~ ShortestPathAStar(*route[],
+            *airport[code, name, country, lat, lon], st[], en[],
+            heuristic: 0)
+        """
+    )
+    assert res.rows and res.rows[0][1] == "E"
+    assert res.rows[0][3][0] == "A" and res.rows[0][3][-1] == "E"
+
+
+def test_shortest_path_bfs(db):
+    res = db.run_script(
+        "st[x] <- [['A']]; en[x] <- [['H']]; "
+        "?[s, g, p] <~ ShortestPathBFS(*route[fr, to], st[], en[])"
+    )
+    assert res.rows[0][2][0] == "A" and res.rows[0][2][-1] == "H"
+
+
+def test_dfs(db):
+    res = db.run_script(
+        """
+        st[x] <- [['A']]
+        ?[s, g, p] <~ DFS(*route[fr, to],
+            *airport[code, name, country, lat, lon], st[],
+            condition: country == 'C3', limit: 1)
+        """
+    )
+    assert len(res.rows) == 1
+
+
+def test_label_propagation(db):
+    res = db.run_script("?[l, n] <~ LabelPropagation(*route[fr, to])")
+    assert len(res.rows) == 26
+
+
+def test_closeness(db):
+    res = db.run_script("?[n, c] <~ ClosenessCentrality(*route[fr, to])")
+    assert len(res.rows) == 26 and all(r[1] > 0 for r in res.rows)
+
+
+def test_mst_prim(db):
+    res = db.run_script(
+        "st[x] <- [['A']]; ?[a, b, c] <~ MinimumSpanningTreePrim(*route[], st[])"
+    )
+    assert len(res.rows) == 25
+
+
+def test_fixed_rules_listing(db):
+    res = db.run_script("::fixed_rules")
+    names = {r[0] for r in res.rows}
+    assert {"PageRank", "ShortestPathDijkstra", "ReorderSort", "Constant",
+            "CsvReader", "JsonReader", "KShortestPathYen"} <= names
+
+
+def test_constant_fixed_rule_direct(db):
+    res = db.run_script("?[a, b] <~ Constant(data: [[1, 'x'], [2, 'y']])")
+    assert res.rows == [[1, "x"], [2, "y"]]
