@@ -315,3 +315,48 @@ def test_disjunct_binding_order_isolation(db):
     q(db, "?[y, x] <- [[2, 20]] :create dr2 {y => x}")
     res = q(db, "?[s] := (*dr1[x, y] or *dr2[y, x]), s = x * 100 + y")
     assert sorted(r[0] for r in res.rows) == [110, 2002]
+
+
+def test_unregister_callback_and_rule(db):
+    from cozo_tpu import SimpleFixedRule
+
+    events = []
+    cb_id = db.register_callback("ucb", lambda *a: events.append(a))
+    q(db, ":create ucb {k}")
+    assert db.unregister_callback(cb_id) is True
+    q(db, "?[k] <- [[1]] :put ucb {k}")
+    assert events == []
+
+    db.register_fixed_rule("Tmp", SimpleFixedRule("Tmp", 1, lambda i, o: [[1]]))
+    assert q(db, "?[x] <~ Tmp()").rows == [[1]]
+    assert db.unregister_fixed_rule("Tmp") is True
+    with pytest.raises(CozoError):
+        q(db, "?[x] <~ Tmp()")
+    with pytest.raises(CozoError):
+        db.unregister_fixed_rule("PageRank")  # builtin protected
+
+
+def test_kill_running_query(db):
+    import threading
+    import time
+
+    q(db, "?[a] <- $rows :create killme {a}", {"rows": [[i] for i in range(300)]})
+    errs = []
+
+    def slow():
+        try:
+            db.run_script(
+                "?[count(x)] := *killme[a], *killme[b], *killme[c], "
+                "x = a + b + c"
+            )
+        except CozoError as e:
+            errs.append(e.code)
+
+    t = threading.Thread(target=slow)
+    t.start()
+    time.sleep(0.3)
+    res = db.run_script("::running")
+    if res.rows:
+        db.run_script(f"::kill {res.rows[0][0]}")
+    t.join(timeout=30)
+    assert errs and errs[0] == "query::killed"
