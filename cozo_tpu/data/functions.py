@@ -345,14 +345,11 @@ def op_signum(args):
     if isinstance(v, int) and not isinstance(v, bool):
         return (v > 0) - (v < 0)
     if isinstance(v, float):
+        # Rust f64::signum (reference delegates to it): sign-bit based, so
+        # -0.0 → -1.0, +0.0 → 1.0, NaN → NaN; always a Float for Float input.
         if math.isnan(v):
             return float("nan")
-        if v < 0 or (v == 0 and math.copysign(1.0, v) < 0):
-            # Rust f64::signum is sign-based: -0.0 has signum -1
-            return -1 if v < 0 else 0 if v == 0 else -1
-        if v == 0:
-            return 0
-        return 1
+        return math.copysign(1.0, v)
     raise EvalError("'signum' requires numbers")
 
 

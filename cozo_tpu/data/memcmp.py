@@ -43,6 +43,7 @@ from .value import (
     Vector,
     _BotType,
     bits_to_float,
+    coerce_int,
     float_order_bits,
 )
 
@@ -118,6 +119,7 @@ def encode_value(buf: bytearray, v: Any) -> None:
         buf.append(TRUE_TAG if v else FALSE_TAG)
         return
     if t is int:
+        coerce_int(v)  # raise (not silently wrap) outside the i64 domain
         buf.append(NUM_TAG)
         buf.extend(_U64.pack(float_order_bits(float(v))))
         buf.append(0)

@@ -70,7 +70,11 @@ _U64 = struct.Struct(">Q")
 def coerce_int(v: int) -> int:
     """Range-check to the engine's 64-bit signed integer domain."""
     if v > MAX_I64 or v < MIN_I64:
-        raise ValueError(f"integer out of 64-bit range: {v}")
+        from ..utils.errors import EvalError
+
+        raise EvalError(
+            f"integer out of 64-bit range: {v}", code="eval::int_out_of_range"
+        )
     return v
 
 

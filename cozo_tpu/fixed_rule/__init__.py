@@ -82,6 +82,10 @@ def _build_registry() -> Dict[str, FixedRule]:
         utilities.JsonReader(),
     ]:
         reg[rule.name] = rule
+    # alias names registered by the reference (fixed_rule/mod.rs:706-836)
+    reg["BreadthFirstSearch"] = reg["BFS"]
+    reg["DepthFirstSearch"] = reg["DFS"]
+    reg["SCC"] = reg["StronglyConnectedComponents"]
     return reg
 
 

@@ -167,7 +167,10 @@ class Lexer:
         num = "".join(digs)
         if is_float:
             return Token(FLOAT, text, float(num), start, self.pos)
-        return Token(INT, text, int(num), start, self.pos)
+        ival = int(num)
+        if ival > (1 << 63) - 1 or ival < -(1 << 63):
+            raise self.error(f"integer literal out of 64-bit range: {text}")
+        return Token(INT, text, ival, start, self.pos)
 
     def _lex_quoted(self, quote: str) -> Token:
         src, n = self.src, self.n

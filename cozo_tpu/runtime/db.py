@@ -96,6 +96,18 @@ class Db:
         tx = self.storage.transact(write=True)
         Catalog.init_storage(tx)
         tx.commit()
+        # Relation ids come from a process-level counter (reference keeps an
+        # AtomicU64 seeded from storage at open, runtime/db.rs:100,607): a
+        # per-tx KV read-modify-write would let two concurrent :create calls
+        # both read the same NEXT_ID_KEY and share a key range. Seeded from
+        # max(NEXT_ID_KEY, catalog ids) so a stale persisted counter (commits
+        # can land out of order) can never re-issue a live id.
+        self._rel_id_lock = threading.Lock()
+        rtx = self.storage.transact(write=False)
+        try:
+            self._next_rel_id = Catalog.max_allocated_id(rtx) + 1
+        finally:
+            rtx.abort()
 
         from ..fixed_rule import DEFAULT_FIXED_RULES
 
@@ -236,12 +248,19 @@ class Db:
 
     # -------------------------------------------------------------- query path
 
+    def _alloc_rel_id(self) -> int:
+        with self._rel_id_lock:
+            rid = self._next_rel_id
+            self._next_rel_id += 1
+            return rid
+
     def _new_session(self, write: bool, cur_vld: int) -> SessionTx:
         return SessionTx(
             self.storage.transact(write=write),
             MemStorage(),
             cur_vld,
             handle_cache=self._handle_cache,
+            rel_id_alloc=self._alloc_rel_id,
         )
 
     def _register_running(self, poison: Poison, payload: str) -> int:

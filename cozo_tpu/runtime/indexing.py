@@ -27,14 +27,14 @@ def update_indexes_on_put(
         if kind == "normal":
             idx_handle = tx.get_relation(f"{handle.name}:{idx_name}")
             store_tx = tx.store_tx_for(idx_handle)
+            # compare memcmp-encoded keys: str() forms collide across types
+            # (Int 1 vs Str "1"), leaving a stale index row undeleted
+            new_key = idx_handle.encode_row_key(index_row(handle, meta, new_row))
             if old_row is not None:
-                old_tup = index_row(handle, meta, old_row)
-                new_tup = index_row(handle, meta, new_row)
-                if [str(x) for x in old_tup] != [str(x) for x in new_tup]:
-                    store_tx.delete(idx_handle.encode_row_key(old_tup))
-            store_tx.put(
-                idx_handle.encode_row_key(index_row(handle, meta, new_row)), b""
-            )
+                old_key = idx_handle.encode_row_key(index_row(handle, meta, old_row))
+                if old_key != new_key:
+                    store_tx.delete(old_key)
+            store_tx.put(new_key, b"")
         elif kind == "hnsw":
             from .hnsw import hnsw_put
 

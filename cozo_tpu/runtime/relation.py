@@ -290,6 +290,18 @@ class Catalog:
         return nxt
 
     @staticmethod
+    def max_allocated_id(tx: StoreTx) -> int:
+        """Highest relation id in use: max of the persisted counter and every
+        catalog entry's id (index sub-relations included — they have their
+        own catalog rows). Robust to a stale NEXT_ID_KEY from out-of-order
+        commits; used to seed the process-level allocator at Db open."""
+        raw = tx.get(Catalog.NEXT_ID_KEY)
+        hi = (int(raw) if raw else FIRST_USER_ID) - 1
+        for h in Catalog.list_all(tx):
+            hi = max(hi, h.id)
+        return max(hi, FIRST_USER_ID - 1)
+
+    @staticmethod
     def meta_key(name: str) -> bytes:
         return encode_key(SYSTEM_ID, [name])
 

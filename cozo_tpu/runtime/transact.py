@@ -17,6 +17,7 @@ class SessionTx:
         temp_store: Storage,
         cur_vld: int,
         handle_cache: Optional[dict] = None,
+        rel_id_alloc: Optional[Any] = None,
     ) -> None:
         self.store_tx = store_tx
         self.temp_store = temp_store
@@ -26,6 +27,7 @@ class SessionTx:
         # db-level (raw_bytes, handle) cache shared across queries; validated
         # against the raw catalog bytes so DDL invalidates naturally
         self._shared_cache = handle_cache
+        self._rel_id_alloc = rel_id_alloc
 
     # --- relations ------------------------------------------------------------
 
@@ -68,9 +70,17 @@ class SessionTx:
         self._rel_cache.pop(name, None)
 
     def alloc_rel_id(self, temp: bool) -> int:
-        tx = self.temp_tx if temp else self.store_tx
-        Catalog.init_storage(tx)
-        return Catalog.alloc_rel_id(tx)
+        if temp:
+            # temp storage is a per-session MemStorage — no cross-tx race
+            Catalog.init_storage(self.temp_tx)
+            return Catalog.alloc_rel_id(self.temp_tx)
+        if self._rel_id_alloc is not None:
+            rid = self._rel_id_alloc()
+            # persist high-water mark so a fresh process reopens correctly
+            self.store_tx.put(Catalog.NEXT_ID_KEY, str(rid + 1).encode())
+            return rid
+        Catalog.init_storage(self.store_tx)
+        return Catalog.alloc_rel_id(self.store_tx)
 
     def store_tx_for(self, handle: RelationHandle) -> StoreTx:
         return self.temp_tx if handle.is_temp else self.store_tx

@@ -2,8 +2,12 @@
 
 Analog of the reference `mem` engine (`cozo-core/src/storage/mem.rs`):
 a shared sorted map; write transactions buffer an overlay merged on
-commit under a global write lock; readers see a consistent snapshot by
-virtue of the engine-wide reader/writer lock (single-process semantics).
+commit under the store lock.  Readers materialize chunks of the scanned
+range *under the same lock* (never iterating the shared SortedDict
+while a commit mutates it), so every row and every chunk is a
+consistent committed state; long scans are read-committed at chunk
+granularity, matching the single-process semantics the Db layer's
+per-relation write locks assume.
 """
 
 from __future__ import annotations
@@ -14,6 +18,8 @@ from typing import Iterator, Optional, Tuple
 from sortedcontainers import SortedDict
 
 from .base import Storage, StoreTx
+
+_SCAN_CHUNK = 4096
 
 
 class MemTx(StoreTx):
@@ -27,63 +33,80 @@ class MemTx(StoreTx):
     def get(self, key: bytes, for_update: bool = False) -> Optional[bytes]:
         if self.overlay is not None and key in self.overlay:
             return self.overlay[key]
-        return self.store.data.get(key)
+        with self.store.lock:
+            return self.store.data.get(key)
+
+    def _base_chunks(self, lower: bytes, upper: bytes, reverse: bool):
+        """Yield (key, value) pairs from the shared map, materializing one
+        chunk at a time under the store lock (no iteration of the shared
+        SortedDict outside the lock)."""
+        data = self.store.data
+        lo, hi = lower, upper
+        inclusive = (True, False)
+        while True:
+            chunk = []
+            with self.store.lock:
+                it = data.irange(lo, hi, inclusive=inclusive, reverse=reverse)
+                for k in it:
+                    chunk.append((k, data[k]))
+                    if len(chunk) >= _SCAN_CHUNK:
+                        break
+            if not chunk:
+                return
+            yield from chunk
+            last = chunk[-1][0]
+            if len(chunk) < _SCAN_CHUNK:
+                return
+            if reverse:
+                hi = last
+                inclusive = (True, False)
+            else:
+                lo = last
+                inclusive = (False, False)
 
     def range_scan(self, lower: bytes, upper: bytes) -> Iterator[Tuple[bytes, bytes]]:
-        data = self.store.data
+        base = self._base_chunks(lower, upper, reverse=False)
         if not self.overlay:
-            for k in data.irange(lower, upper, inclusive=(True, False)):
-                yield k, data[k]
+            yield from base
             return
-        # merge overlay into base scan
-        base_keys = list(data.irange(lower, upper, inclusive=(True, False)))
-        over_keys = sorted(k for k in self.overlay if lower <= k < upper)
-        yield from self._merge(base_keys, over_keys)
+        over = sorted(
+            (k, self.overlay[k]) for k in self.overlay if lower <= k < upper
+        )
+        yield from self._merge(base, over)
 
     def range_scan_rev(self, lower: bytes, upper: bytes) -> Iterator[Tuple[bytes, bytes]]:
-        data = self.store.data
+        base = self._base_chunks(lower, upper, reverse=True)
         if not self.overlay:
-            for k in data.irange(lower, upper, inclusive=(True, False), reverse=True):
-                yield k, data[k]
+            yield from base
             return
-        base_keys = list(data.irange(lower, upper, inclusive=(True, False), reverse=True))
-        over_keys = sorted(
-            (k for k in self.overlay if lower <= k < upper), reverse=True
+        over = sorted(
+            ((k, self.overlay[k]) for k in self.overlay if lower <= k < upper),
+            reverse=True,
         )
-        yield from self._merge(base_keys, over_keys, reverse=True)
+        yield from self._merge(base, over, reverse=True)
 
-    def _merge(self, base_keys, over_keys, reverse=False):
-        data = self.store.data
-        overlay = self.overlay
-        i = j = 0
+    def _merge(self, base_iter, over_pairs, reverse=False):
+        j = 0
+        n_over = len(over_pairs)
         cmp = (lambda a, b: a > b) if reverse else (lambda a, b: a < b)
-        while i < len(base_keys) or j < len(over_keys):
-            if j >= len(over_keys):
-                k = base_keys[i]
-                i += 1
-                yield k, data[k]
-            elif i >= len(base_keys):
-                k = over_keys[j]
+        for bk, bv in base_iter:
+            while j < n_over and cmp(over_pairs[j][0], bk):
+                ok, ov = over_pairs[j]
                 j += 1
-                v = overlay[k]
-                if v is not None:
-                    yield k, v
+                if ov is not None:
+                    yield ok, ov
+            if j < n_over and over_pairs[j][0] == bk:
+                ok, ov = over_pairs[j]
+                j += 1
+                if ov is not None:
+                    yield ok, ov
             else:
-                bk, ok = base_keys[i], over_keys[j]
-                if bk == ok:
-                    i += 1
-                    j += 1
-                    v = overlay[ok]
-                    if v is not None:
-                        yield ok, v
-                elif cmp(bk, ok):
-                    i += 1
-                    yield bk, data[bk]
-                else:
-                    j += 1
-                    v = overlay[ok]
-                    if v is not None:
-                        yield ok, v
+                yield bk, bv
+        while j < n_over:
+            ok, ov = over_pairs[j]
+            j += 1
+            if ov is not None:
+                yield ok, ov
 
     # -- writes -------------------------------------------------------------
     def put(self, key: bytes, value: bytes) -> None:

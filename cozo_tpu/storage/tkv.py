@@ -227,7 +227,10 @@ class TkvTx(StoreTx):
         if not self.overlay:
             return
         lib = _lib()
-        reads = [k for k in self.read_set if k not in self.overlay] if self.read_set else []
+        # The full read_set is validated, including keys we also wrote:
+        # read-modify-write keys are exactly the ones OCC must check for a
+        # concurrent commit between our snapshot and now (lost updates).
+        reads = list(self.read_set) if self.read_set else []
         n_r = len(reads)
         rkeys = (ctypes.c_char_p * max(n_r, 1))(*reads) if n_r else (ctypes.c_char_p * 1)()
         rlens = (ctypes.c_size_t * max(n_r, 1))(*[len(k) for k in reads]) if n_r else (ctypes.c_size_t * 1)()

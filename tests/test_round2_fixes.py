@@ -1,0 +1,186 @@
+"""Regression tests for the round-2 correctness fixes (VERDICT/ADVICE):
+relation-id allocation race, tkv read-modify-write conflict detection,
+i64 range checks, mem-engine concurrent scans, signum float semantics,
+lateral-index change detection on str()-colliding values."""
+
+import threading
+
+import pytest
+
+from cozo_tpu.runtime.db import Db
+
+
+def _rows(res):
+    return res.rows
+
+
+def test_concurrent_create_distinct_rel_ids():
+    """ADVICE high: two threads :create-ing different relations must not
+    share a relation id (reference: AtomicU64, runtime/db.rs:100)."""
+    db = Db("mem")
+    errs = []
+
+    def create(name):
+        try:
+            db.run_script(f":create {name} {{k: Int => v: Int}}")
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    for wave in range(4):
+        names = [f"r{wave}_{i}" for i in range(8)]
+        ts = [threading.Thread(target=create, args=(n,)) for n in names]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+    assert not errs
+    tx = db.storage.transact(write=False)
+    from cozo_tpu.runtime.relation import Catalog
+
+    handles = Catalog.list_all(tx)
+    ids = [h.id for h in handles]
+    assert len(ids) == len(set(ids)), f"duplicate relation ids: {sorted(ids)}"
+    tx.abort()
+    # rows land in their own relations
+    db.run_script("?[k, v] <- [[1, 10]] :put r0_0 {k => v}")
+    db.run_script("?[k, v] <- [[2, 20]] :put r0_1 {k => v}")
+    assert _rows(db.run_script("?[k, v] := *r0_0{k, v}")) == [[1, 10]]
+    assert _rows(db.run_script("?[k, v] := *r0_1{k, v}")) == [[2, 20]]
+
+
+def test_rel_id_counter_survives_reopen(tmp_path):
+    path = str(tmp_path / "ids.db")
+    db = Db("sqlite", path)
+    db.run_script(":create a {k: Int}")
+    db.storage.close()
+    db2 = Db("sqlite", path)
+    db2.run_script(":create b {k: Int}")
+    db2.run_script("?[k] <- [[1]] :put a {k}")
+    db2.run_script("?[k] <- [[2]] :put b {k}")
+    assert _rows(db2.run_script("?[k] := *a{k}")) == [[1]]
+    assert _rows(db2.run_script("?[k] := *b{k}")) == [[2]]
+    db2.storage.close()
+
+
+def test_tkv_read_modify_write_conflict(tmp_path):
+    """ADVICE medium: OCC must validate keys that were both read and
+    written — the lost-update pattern."""
+    from cozo_tpu.storage.tkv import TkvStorage
+
+    s = TkvStorage("")
+    init = s.transact(write=True)
+    init.put(b"ctr", b"0")
+    init.commit()
+
+    t1 = s.transact(write=True)
+    v1 = t1.get(b"ctr", for_update=True)
+    t2 = s.transact(write=True)
+    v2 = t2.get(b"ctr", for_update=True)
+    assert v1 == v2 == b"0"
+    t1.put(b"ctr", b"1")
+    t2.put(b"ctr", b"1")
+    t1.commit()
+    with pytest.raises(Exception):
+        t2.commit()
+    s.close()
+
+
+def test_int_literal_out_of_range_raises():
+    db = Db("mem")
+    with pytest.raises(Exception):
+        db.run_script("?[x] <- [[99999999999999999999]]")
+
+
+def test_int_param_out_of_range_raises_not_wraps():
+    db = Db("mem")
+    db.run_script(":create big {k: Any}")
+    with pytest.raises(Exception):
+        db.run_script(
+            "?[k] <- [[$v]] :put big {k}", params={"v": 99999999999999999999}
+        )
+    # nothing wrapped into the relation
+    assert _rows(db.run_script("?[k] := *big{k}")) == []
+
+
+def test_signum_float_semantics():
+    db = Db("mem")
+    rows = _rows(
+        db.run_script(
+            "?[a, b, c, d] <- [[signum(-0.0), signum(0.0), signum(-3.5), signum(2)]]"
+        )
+    )
+    a, b, c, d = rows[0]
+    assert a == -1.0 and isinstance(a, float)
+    assert b == 1.0 and isinstance(b, float)
+    assert c == -1.0 and isinstance(c, float)
+    assert d == 1 and isinstance(d, int)
+    nan_row = _rows(db.run_script("?[x] <- [[is_nan(signum(0.0/0.0))]]"))
+    assert nan_row == [[True]]
+
+
+def test_index_update_str_colliding_values():
+    """VERDICT weak #4: mutating a value whose str() form collides with the
+    new value (Int 1 -> Str "1") must still refresh the lateral index."""
+    db = Db("mem")
+    db.run_script(":create items {id: Int => val: Any}")
+    db.run_script("::index create items:by_val {val}")
+    db.run_script('?[id, val] <- [[7, 1]] :put items {id => val}')
+    db.run_script('?[id, val] <- [[7, "1"]] :put items {id => val}')
+    rows = _rows(db.run_script("?[val, id] := *items:by_val{val, id}"))
+    assert rows == [["1", 7]], f"stale/dup index rows: {rows}"
+
+
+def test_mem_engine_scan_during_commit():
+    """ADVICE medium: scanning while another thread commits must not
+    raise 'dict changed size during iteration' or KeyError."""
+    db_store = None
+    from cozo_tpu.storage.mem import MemStorage
+
+    s = MemStorage()
+    init = s.transact(write=True)
+    for i in range(20000):
+        init.put(b"k%08d" % i, b"v")
+    init.commit()
+
+    stop = threading.Event()
+    errs = []
+
+    def writer():
+        i = 0
+        while not stop.is_set():
+            tx = s.transact(write=True)
+            tx.put(b"k%08d" % (i % 20000), b"w%d" % i)
+            tx.delete(b"k%08d" % ((i * 7 + 3) % 20000))
+            tx.put(b"k%08d" % ((i * 7 + 3) % 20000), b"v")
+            tx.commit()
+            i += 1
+
+    w = threading.Thread(target=writer)
+    w.start()
+    try:
+        for _ in range(30):
+            rd = s.transact(write=False)
+            n = sum(1 for _ in rd.range_scan(b"k", b"l"))
+            assert n >= 19990
+    except Exception as e:
+        errs.append(e)
+    finally:
+        stop.set()
+        w.join()
+    assert not errs, errs
+
+
+def test_fixed_rule_aliases_run():
+    db = Db("mem")
+    db.run_script(":create e {f: Int, t: Int}")
+    db.run_script("?[f, t] <- [[1,2],[2,3],[3,1],[3,4]] :put e {f, t}")
+    r = db.run_script(
+        """
+        nodes[n] <- [[1],[2],[3],[4]]
+        st[n] <- [[1]]
+        ?[s, g, p] <~ BreadthFirstSearch(*e[f, t], nodes[n], st[], condition: n == 4)
+        """
+    )
+    assert _rows(r)
+    r2 = db.run_script("?[x, cc] <~ SCC(*e[])")
+    assert len(_rows(r2)) == 4
