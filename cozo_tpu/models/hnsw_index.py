@@ -72,6 +72,8 @@ class HnswIndex:
         self.dirty: set = set()
         # slots changed since the device mirror was last refreshed
         self.dev_pending: set = set()
+        # slots whose vector/alive state changed (sweep table maintenance)
+        self.sweep_pending: set = set()
 
     # ------------------------------------------------------------------ sizing
 
@@ -131,12 +133,16 @@ class HnswIndex:
         denom = np.where(denom > 0, denom, 1.0)
         return 1.0 - dots.astype(np.float64) / denom
 
-    def dists_batch(self, qs: np.ndarray, slots: np.ndarray) -> np.ndarray:
-        """qs [B, d]; slots [B, K] → [B, K] distances (invalid slots = +inf)."""
+    def dists_batch(
+        self, qs: np.ndarray, slots: np.ndarray, dtype=np.float64
+    ) -> np.ndarray:
+        """qs [B, d]; slots [B, K] → [B, K] distances (invalid slots = +inf).
+        dtype=float32 matches the reference's f32 distance math
+        (VectorCache::dist, hnsw.rs:66-109) at half the memory traffic."""
         valid = slots >= 0
         safe = np.where(valid, slots, 0)
-        vs = self.vectors[safe].astype(np.float64)  # [B, K, d]
-        qd = qs.astype(np.float64)  # [B, d]
+        vs = self.vectors[safe].astype(dtype)  # [B, K, d]
+        qd = qs.astype(dtype)  # [B, d]
         if self.distance == DIST_L2:
             d = vs - qd[:, None, :]
             out = np.einsum("bkd,bkd->bk", d, d)
@@ -170,6 +176,7 @@ class HnswIndex:
         self.alive[slot] = True
         self.dirty.add(slot)
         self.dev_pending.add(slot)
+        self.sweep_pending.add(slot)
         self._ensure_level(level)
         for l in range(level + 1):
             self.neighbors[l][slot, :] = -1
@@ -344,6 +351,7 @@ class HnswIndex:
         self.alive[slot] = False
         self.dirty.add(slot)
         self.dev_pending.add(slot)
+        self.sweep_pending.add(slot)
         level = int(self.levels[slot])
         for l in range(min(level, len(self.neighbors) - 1) + 1):
             nb = self.neighbors[l]
@@ -389,6 +397,18 @@ class HnswIndex:
         if use_tpu is None:
             use_tpu = self.n >= 20_000 and B >= 4
         if use_tpu:
+            # Large query batches (or single-chunk tables): the chunked MXU
+            # sweep is faster AND more accurate than graph traversal on TPU
+            # (row gathers run ~1.6 GB/s vs matmuls at TFLOP/s — see
+            # ops/exact_knn.py).  Small batches on big tables keep the
+            # beam-search kernel (reads O(B·beam·m) rows, not the table).
+            if B >= 64 or self.n <= 131_072:
+                try:
+                    from ..ops.exact_knn import sweep_search
+
+                    return sweep_search(self, qs, k)
+                except Exception:  # pragma: no cover — device fallback
+                    pass
             try:
                 from ..ops.vector_search import hnsw_search_device
 
@@ -481,7 +501,16 @@ class HnswIndex:
         if n_new <= wave or self.n > 0:
             # small builds / incremental tails: reference-faithful inserts
             return [self.insert(v) for v in data]
+        if use_tpu is not False and n_new >= 4096 and not self._free:
+            # device-centric construction: sweep-exact candidates + batched
+            # selection heuristic + vectorized reverse links (ops/bulk_build)
+            try:
+                from ..ops.bulk_build import bulk_build_device
 
+                return bulk_build_device(self, data, wave=max(wave, 2048))
+            except Exception:  # pragma: no cover — host fallback
+                if self.n > 0:
+                    raise  # partial build — don't silently restart
         ef = self.ef_construction
         # seed wave: sequential
         slots = [self.insert(v) for v in data[:wave]]
@@ -532,6 +561,7 @@ class HnswIndex:
                 self.alive[slot] = True
                 self.dirty.add(slot)
                 self.dev_pending.add(slot)
+                self.sweep_pending.add(slot)
                 self._ensure_level(level)
                 for l in range(level + 1):
                     self.neighbors[l][slot, :] = -1

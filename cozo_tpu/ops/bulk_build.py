@@ -1,0 +1,297 @@
+"""Device-side bulk HNSW construction.
+
+Replaces the host wave-insert (VERDICT r1 #3: 21s/10K, hours at 1M) with
+a build driven by the chunked MXU sweep (`ops/exact_knn.py`):
+
+  per wave of W vectors:
+    1. scatter the wave into the device sweep table (capacity reserved
+       up-front so the sweep shape compiles once per build);
+    2. one sweep pass = exact top-P candidates for all W vectors at once
+       (better candidates than the reference's ef_construction beam,
+       `runtime/hnsw.rs:470-537` — this is the kNN-graph + RNG-prune
+       construction family, the MXU-friendly formulation);
+    3. the neighbor-selection heuristic runs as a device kernel batched
+       over the wave (pairwise candidate distances come from one MXU
+       einsum on the sweep-table rows);
+    4. reverse links + overflow shrink are vectorized numpy using link
+       distances carried from the sweep (no per-edge Python).
+
+  Upper levels (6%/0.4%/... of nodes at m=16) keep the per-node host
+  heuristic — they are too few to matter.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+from typing import Optional
+
+import numpy as np
+
+from .exact_knn import SweepTable, _pad_pow2
+
+
+def _jx():
+    from ..utils.jax_setup import ensure_jax_config
+
+    ensure_jax_config()
+    import jax
+    import jax.numpy as jnp
+
+    return jax, jnp
+
+
+_SELECT_FNS = {}
+
+
+def _select_fn(n_chunks: int, chunk: int, d_pad: int, P: int, mmax: int,
+               metric: str):
+    """Batched neighbor-selection heuristic on device.
+
+    Inputs: sweep table (transformed rows + bias), pool_ids [W, P] (-1 =
+    invalid, sorted by pool_d ascending), pool_d [W, P].
+    Output: sel mask [W, P] — reference semantics: scan candidates in
+    distance order; candidate r is dominated if it lies closer to an
+    already-selected s than to the query (pair(r, s) < pool_d[r])."""
+    jax, jnp = _jx()
+    key = (n_chunks, chunk, d_pad, P, mmax, metric)
+    fn = _SELECT_FNS.get(key)
+    if fn is not None:
+        return fn
+
+    @jax.jit
+    def run(tbl, bias, pool_ids, pool_d):
+        W = pool_ids.shape[0]
+        flat = tbl.reshape(-1, d_pad)
+        bflat = bias.reshape(-1)
+        safe = jnp.where(pool_ids >= 0, pool_ids, 0)
+        rows = flat[safe]  # [W, P, d_pad]
+        b = bflat[safe]  # [W, P]
+        dots = jnp.einsum(
+            "wpd,wqd->wpq", rows, rows, preferred_element_type=jnp.float32
+        )
+        if metric == "L2":
+            pair = -b[:, :, None] - b[:, None, :] - dots * 0.5
+        else:
+            pair = 1.0 - dots
+        valid = (pool_ids >= 0) & jnp.isfinite(pool_d)
+
+        def body(i, state):
+            dominated, count, sel = state
+            can = (~dominated[:, i]) & (count < mmax) & valid[:, i]
+            sel = sel.at[:, i].set(can)
+            count = count + can.astype(jnp.int32)
+            dominated = dominated | (can[:, None] & (pair[:, i, :] < pool_d))
+            return dominated, count, sel
+
+        dominated = jnp.zeros((W, P), bool)
+        count = jnp.zeros((W,), jnp.int32)
+        sel = jnp.zeros((W, P), bool)
+        _, _, sel = jax.lax.fori_loop(0, P, body, (dominated, count, sel))
+        return sel
+
+    _SELECT_FNS[key] = fn = run
+    return fn
+
+
+def bulk_build_device(index, data: np.ndarray, wave: int = 4096,
+                      pool_size: Optional[int] = None) -> list:
+    """Fresh build of `index` (must be empty) from `data`. Returns slots."""
+    assert index.n == 0 and not index._free
+    n_new = data.shape[0]
+    dt = index.dtype
+    data = np.asarray(data, dtype=dt)
+    jax, jnp = _jx()
+
+    m0 = index.m_max0
+    efc = index.ef_construction
+    P = pool_size or min(max(efc, 2 * m0), 96)
+    # reserve capacity so the sweep table compiles once for this build
+    index._grow(n_new)
+    st = SweepTable()
+    st.reserve = n_new  # hint consumed by refresh()
+    index._sweep_table = st
+
+    # level 0 link bookkeeping (vectorized reverse links need distances)
+    cap = index.vectors.shape[0]
+    nb0_count = np.zeros(cap, dtype=np.int32)
+    link_d0 = np.full((cap, m0), np.inf, dtype=np.float32)
+
+    # vectorized level sampling (reference hnsw.rs:46-52 distribution)
+    rng = np.random.default_rng(index.rng.randrange(1 << 63))
+    u = rng.random(n_new)
+    u = np.where(u <= 0.0, 0.5, u)
+    levels = (-np.log(u) * index.level_mult).astype(np.int32)
+
+    log = os.environ.get("COZO_TPU_BUILD_LOG") == "1"
+    slots_all = np.arange(n_new, dtype=np.int64)
+    pos = 0
+    t_wave = time.time()
+    while pos < n_new:
+        end = min(pos + wave, n_new)
+        W = end - pos
+        slots = slots_all[pos:end]
+        batch = data[pos:end]
+
+        # -- 1. register the wave in the host index (vectorized)
+        index.vectors[pos:end] = batch
+        b64 = batch.astype(np.float64)
+        index.norms[pos:end] = np.einsum("id,id->i", b64, b64)
+        index.levels[pos:end] = levels[pos:end]
+        index.alive[pos:end] = True
+        index.n = end
+        max_l = int(levels[pos:end].max(initial=0))
+        index._ensure_level(max_l)
+        index.sweep_pending.update(range(pos, end))
+        index.version += 1
+
+        # -- 2. exact candidates via the device sweep (includes the wave
+        # itself; self-matches dropped below)
+        t_ph = time.time()
+        ids, dists = st.search(index, batch, P + 1, rt=0.99, exact_rerank=False)
+        ph_sweep = time.time() - t_ph
+        t_ph = time.time()
+        drop_self = ids == slots[:, None]
+        # also drop any remaining overflow column
+        ids = np.where(drop_self, -1, ids)
+        dists = np.where(drop_self, np.inf, dists)
+        order = np.argsort(dists, axis=1, kind="stable")[:, :P]
+        pool_ids = np.take_along_axis(ids, order, axis=1).astype(np.int32)
+        pool_d = np.take_along_axis(dists, order, axis=1).astype(np.float32)
+
+        # -- 3. device-batched selection heuristic (level 0)
+        sel_fn = _select_fn(
+            st.n_chunks, st.chunk, st.d_pad, P, m0, index.distance
+        )
+        sel = np.asarray(
+            sel_fn(st.tbl, st.bias, jnp.asarray(pool_ids), jnp.asarray(pool_d))
+        )
+        ph_select = time.time() - t_ph
+        t_ph = time.time()
+
+        # -- 4. out-links + vectorized reverse links at level 0
+        nb0 = index.neighbors[0]
+        w_idx, p_idx = np.nonzero(sel)
+        sel_frm = pool_ids[w_idx, p_idx].astype(np.int64)  # link target
+        sel_d = pool_d[w_idx, p_idx]
+        sel_to = slots[w_idx]
+
+        # out-links: group by wave row (w_idx is sorted; positions within
+        # each row are in distance order already)
+        row_start = np.searchsorted(w_idx, np.arange(W))
+        row_end = np.searchsorted(w_idx, np.arange(W) + 1)
+        counts_out = (row_end - row_start).astype(np.int32)
+        col = np.arange(len(w_idx)) - row_start[w_idx]
+        keep = col < m0
+        nb0[slots[w_idx[keep]], col[keep]] = sel_frm[keep]
+        link_d0[slots[w_idx[keep]], col[keep]] = sel_d[keep]
+        nb0_count[slots] = np.minimum(counts_out, m0)
+
+        # reverse links: for each selected neighbor frm, append `to`.
+        # Drop duplicate edges first (frm may be a wave peer whose
+        # out-links already include `to`) so in-group positions are dense.
+        in_wave = sel_frm >= pos
+        dup = np.zeros(len(sel_frm), bool)
+        if in_wave.any():
+            iw = np.nonzero(in_wave)[0]
+            dup[iw] = (nb0[sel_frm[iw]] == sel_to[iw, None]).any(axis=1)
+        keep_rl = ~dup
+        frm_order = np.argsort(sel_frm[keep_rl], kind="stable")
+        r_frm = sel_frm[keep_rl][frm_order]
+        r_to = sel_to[keep_rl][frm_order]
+        r_d = sel_d[keep_rl][frm_order]
+        uniq, grp_start, grp_counts = np.unique(
+            r_frm, return_index=True, return_counts=True
+        )
+        cum = np.arange(len(r_frm)) - grp_start[
+            np.searchsorted(uniq, r_frm)
+        ]  # position within group
+        base = nb0_count[r_frm]
+        tgt = base + cum
+        fits = tgt < m0
+        overflow_mask = tgt >= m0
+        nb0[r_frm[fits], tgt[fits]] = r_to[fits]
+        link_d0[r_frm[fits], tgt[fits]] = r_d[fits]
+        # counts reflect only appended-in-place entries:
+        filled = np.zeros(cap, dtype=np.int32)
+        np.add.at(filled, r_frm[fits], 1)
+        nb0_count[uniq] = nb0_count[uniq] + filled[uniq]
+
+        # overflow rows: shrink to the m0 closest using stored distances
+        over = np.unique(r_frm[overflow_mask])
+        if len(over) > 0:
+            max_add = int(grp_counts.max())
+            K = m0 + max_add
+            cand_ids = np.full((len(over), K), -1, dtype=np.int64)
+            cand_d = np.full((len(over), K), np.inf, dtype=np.float32)
+            cand_ids[:, :m0] = nb0[over]
+            cand_d[:, :m0] = link_d0[over]
+            # gather this wave's additions per overflow row
+            pos_of = {f: i for i, f in enumerate(over)}
+            fill = np.zeros(len(over), dtype=np.int32)
+            om = overflow_mask
+            for f, t, dd in zip(r_frm[om], r_to[om], r_d[om]):
+                i = pos_of[f]
+                j = m0 + fill[i]
+                if j < K:
+                    cand_ids[i, j] = t
+                    cand_d[i, j] = dd
+                    fill[i] += 1
+            part = np.argpartition(cand_d, m0 - 1, axis=1)[:, :m0]
+            sort_in = np.take_along_axis(cand_d, part, axis=1)
+            srt = np.argsort(sort_in, axis=1, kind="stable")
+            part = np.take_along_axis(part, srt, axis=1)
+            nb0[over] = np.take_along_axis(cand_ids, part, axis=1)
+            link_d0[over] = np.take_along_axis(cand_d, part, axis=1)
+            nb0_count[over] = (nb0[over] >= 0).sum(axis=1).astype(np.int32)
+
+        index.dirty.update(slots.tolist())
+        index.dirty.update(np.unique(sel_frm).tolist())
+        index.dev_pending.update(slots.tolist())
+        index.dev_pending.update(np.unique(sel_frm).tolist())
+
+        ph_links = time.time() - t_ph
+        t_ph = time.time()
+
+        # -- 5. upper levels: per-node host heuristic (few nodes)
+        hi = np.nonzero(levels[pos:end] >= 1)[0]
+        for j in hi.tolist():
+            slot = int(slots[j])
+            lvl = int(levels[pos + j])
+            pool_l = [
+                (float(d), int(c))
+                for d, c in zip(pool_d[j], pool_ids[j])
+                if c >= 0 and np.isfinite(d) and index.levels[c] >= 1
+            ]
+            for l in range(1, lvl + 1):
+                cands_l = [(d, c) for d, c in pool_l if index.levels[c] >= l]
+                if not cands_l:
+                    continue
+                selected = index._select_neighbors(batch[j], cands_l, l)
+                index._set_neighbors(l, slot, selected[: index.m_max])
+                for nb_ in selected[: index.m_max]:
+                    index._add_link(l, nb_, slot)
+
+        # entry point: highest level so far
+        if index.entry < 0 or levels[pos:end].max(initial=-1) > int(
+            index.levels[index.entry]
+        ):
+            cand = pos + int(np.argmax(levels[pos:end]))
+            index.entry = cand
+
+        if log and (end // wave) % 16 == 0:
+            el = time.time() - t_wave
+            t_wave = time.time()
+            ph_upper = time.time() - t_ph
+            print(
+                f"# bulk_build: {end}/{n_new} ({el/16:.2f}s/wave; last: "
+                f"sweep {ph_sweep:.2f} select {ph_select:.2f} "
+                f"links {ph_links:.2f} upper {ph_upper:.2f})",
+                file=sys.stderr,
+                flush=True,
+            )
+        pos = end
+
+    return slots_all.tolist()

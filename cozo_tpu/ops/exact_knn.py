@@ -1,0 +1,278 @@
+"""Device-resident chunked k-NN sweep — the TPU-native serving path for
+large-batch vector search.
+
+Rationale (measured on TPU v5e, see BENCH_NOTES.md round 2): XLA row
+gathers run at ~1.6 GB/s effective, so graph-traversal ANN (the CPU-native
+design the reference uses, `runtime/hnsw.rs:869-1012`) is memory-system-
+hostile on TPU.  The MXU inverts the trade-off: scoring a whole 1.18M-row
+table against a 4–16K query batch is one big matmul chain (~1 TFLOP) that
+runs in ~100 ms — *exact* search beats approximate pointer chasing.
+
+Layout: the table lives on device as [n_chunks, CHUNK, d_pad] f32 with a
+score bias [n_chunks, CHUNK] (0 alive, -inf dead/padding).  A lax.scan
+over chunks computes bf16 MXU scores (f32 accumulation), per-chunk
+`lax.approx_max_k` (TPU PartialReduce — ~6x faster than exact top_k at
+recall_target 0.99), and a running exact top-k merge.
+
+Distance handling reduces every metric to a max-similarity problem:
+  L2:     s = 2 q·v - ||v||^2          (d = ||q||^2 - s)
+  IP:     s = q·v                      (d = 1 - s)
+  Cosine: s = q̂·v̂ (rows pre-normalized; d = 1 - s)
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+def _jx():
+    from ..utils.jax_setup import ensure_jax_config
+
+    ensure_jax_config()
+    import jax
+    import jax.numpy as jnp
+
+    return jax, jnp
+
+
+MAX_CHUNK = 1 << 17
+
+
+def _pad_pow2(n: int) -> int:
+    if n <= 1:
+        return 1
+    return 1 << (n - 1).bit_length()
+
+
+def _chunking(n: int) -> Tuple[int, int]:
+    """(chunk_size, n_chunks): one pow2 chunk for small tables, fixed
+    MAX_CHUNK chunks beyond (bounds recompiles to O(1) per growth epoch)."""
+    if n <= MAX_CHUNK:
+        c = max(_pad_pow2(n), 512)
+        return c, 1
+    return MAX_CHUNK, (n + MAX_CHUNK - 1) // MAX_CHUNK
+
+
+_SWEEP_FNS = {}
+
+
+def _sweep_fn(n_chunks: int, chunk: int, d_pad: int, k: int, rt: float,
+              compute_dtype: str):
+    jax, jnp = _jx()
+    key = (n_chunks, chunk, d_pad, k, rt, compute_dtype)
+    fn = _SWEEP_FNS.get(key)
+    if fn is not None:
+        return fn
+    cdt = jnp.bfloat16 if compute_dtype == "bf16" else jnp.float32
+
+    @jax.jit
+    def run(tbl, bias, qs):
+        B = qs.shape[0]
+
+        def body(carry, xs):
+            best_s, best_i, ci = carry
+            chunk_v, chunk_b = xs
+            s = jax.lax.dot_general(
+                qs.astype(cdt),
+                chunk_v.astype(cdt),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                # TPU f32 matmuls default to bf16-pass precision; the f32
+                # path is the "exact" mode so force true f32 MACs
+                precision=(
+                    jax.lax.Precision.HIGHEST
+                    if compute_dtype == "f32"
+                    else jax.lax.Precision.DEFAULT
+                ),
+            ) + chunk_b[None, :]
+            if rt >= 1.0:
+                nd, ni = jax.lax.top_k(s, k)
+            else:
+                nd, ni = jax.lax.approx_max_k(s, k, recall_target=rt)
+            ni = ni + ci * chunk
+            md = jnp.concatenate([best_s, nd], axis=1)
+            mi = jnp.concatenate([best_i, ni], axis=1)
+            td, ti = jax.lax.top_k(md, k)
+            return (td, jnp.take_along_axis(mi, ti, axis=1), ci + 1), None
+
+        init = (
+            jnp.full((B, k), -jnp.inf, jnp.float32),
+            jnp.full((B, k), -1, jnp.int32),
+            jnp.int32(0),
+        )
+        (bs, bi, _), _ = jax.lax.scan(body, init, (tbl, bias))
+        return bi, bs
+
+    _SWEEP_FNS[key] = run
+    return run
+
+
+_UPDATE_FNS = {}
+
+
+def _update_fn(n_chunks, chunk, d_pad, u_pad):
+    """Scatter dirty slots into the resident chunked table."""
+    jax, jnp = _jx()
+    key = (n_chunks, chunk, d_pad, u_pad)
+    fn = _UPDATE_FNS.get(key)
+    if fn is not None:
+        return fn
+
+    @jax.jit
+    def run(tbl, bias, cs, rs, new_rows, new_bias):
+        tbl = tbl.at[cs, rs].set(new_rows)
+        bias = bias.at[cs, rs].set(new_bias)
+        return tbl, bias
+
+    _UPDATE_FNS[key] = run
+    return run
+
+
+class SweepTable:
+    """Device-resident chunked score table for one index, incrementally
+    maintained from the host index's dirty-slot set."""
+
+    def __init__(self) -> None:
+        self.version = -1
+        self.n_slots = 0
+        self.tbl = None
+        self.bias = None
+        self.chunk = 0
+        self.n_chunks = 0
+        self.d_pad = 0
+        # capacity hint: size chunking for this many rows up-front so a
+        # growing bulk build compiles the sweep exactly once
+        self.reserve = 0
+
+    # -- host-side row prep ---------------------------------------------------
+
+    @staticmethod
+    def _prep_rows(index, slots: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """Returns (rows [len, d_pad] f32, bias [len] f32) in sweep form."""
+        d = index.dim
+        d_pad = max(128, int(math.ceil(d / 128) * 128))
+        vecs = index.vectors[slots].astype(np.float32)
+        alive = index.alive[slots]
+        rows = np.zeros((len(slots), d_pad), dtype=np.float32)
+        bias = np.where(alive, 0.0, -np.inf).astype(np.float32)
+        if index.distance == "L2":
+            rows[:, :d] = 2.0 * vecs
+            bias = bias - index.norms[slots].astype(np.float32)
+        elif index.distance == "IP":
+            rows[:, :d] = vecs
+        else:  # Cosine
+            nrm = np.sqrt(index.norms[slots]).astype(np.float32)
+            nrm = np.where(nrm > 0, nrm, 1.0)
+            rows[:, :d] = vecs / nrm[:, None]
+        bias = np.where(alive, bias, -np.inf)
+        return rows, bias
+
+    def refresh(self, index) -> None:
+        if self.version == index.version:
+            return
+        jax, jnp = _jx()
+        n = max(index.n, 1, self.reserve)
+        chunk, n_chunks = _chunking(n)
+        d = index.dim
+        d_pad = max(128, int(math.ceil(d / 128) * 128))
+        pending = index.sweep_pending
+        if (
+            self.tbl is not None
+            and n_chunks == self.n_chunks
+            and chunk == self.chunk
+            and d_pad == self.d_pad
+            and pending is not None
+            and 0 < len(pending) <= max(4096, (chunk * n_chunks) // 16)
+        ):
+            slots = np.fromiter(sorted(pending), dtype=np.int64)
+            u_pad = _pad_pow2(len(slots))
+            slots_p = np.full(u_pad, slots[0], dtype=np.int64)
+            slots_p[: len(slots)] = slots
+            rows, bias = self._prep_rows(index, slots_p)
+            cs = (slots_p // chunk).astype(np.int32)
+            rs = (slots_p % chunk).astype(np.int32)
+            fn = _update_fn(n_chunks, chunk, d_pad, u_pad)
+            self.tbl, self.bias = fn(
+                self.tbl, self.bias, jnp.asarray(cs), jnp.asarray(rs),
+                jnp.asarray(rows), jnp.asarray(bias),
+            )
+        else:
+            total = n_chunks * chunk
+            slots = np.arange(total, dtype=np.int64)
+            slots_c = np.minimum(slots, index.vectors.shape[0] - 1)
+            rows, bias = self._prep_rows(index, slots_c)
+            # padding slots (>= index capacity or >= n) are dead
+            dead = slots >= index.n
+            bias[dead] = -np.inf
+            rows[dead] = 0.0
+            self.tbl = jnp.asarray(rows.reshape(n_chunks, chunk, d_pad))
+            self.bias = jnp.asarray(bias.reshape(n_chunks, chunk))
+        self.chunk, self.n_chunks, self.d_pad = chunk, n_chunks, d_pad
+        self.version = index.version
+        self.n_slots = n
+        index.sweep_pending.clear()
+
+    # -- search ---------------------------------------------------------------
+
+    def search(
+        self,
+        index,
+        qs: np.ndarray,
+        k: int,
+        rt: float = 0.99,
+        compute_dtype: str = "bf16",
+        exact_rerank: bool = True,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        jax, jnp = _jx()
+        self.refresh(index)
+        d = index.dim
+        q = np.asarray(qs, dtype=np.float32)
+        B = q.shape[0]
+        qp = np.zeros((B, self.d_pad), dtype=np.float32)
+        if index.distance == "Cosine":
+            nrm = np.linalg.norm(q, axis=1, keepdims=True)
+            nrm = np.where(nrm > 0, nrm, 1.0)
+            qp[:, :d] = q / nrm
+        else:
+            qp[:, :d] = q
+        # over-fetch, then exact f64 host re-rank: corrects bf16 rank noise
+        # inside the candidate set AND makes bind_distance exact (reference
+        # hnsw_knn returns true distances, runtime/hnsw.rs:943-1006)
+        kf = min(k + 16, self.n_chunks * self.chunk) if exact_rerank else k
+        fn = _sweep_fn(self.n_chunks, self.chunk, self.d_pad, kf, rt, compute_dtype)
+        ids, scores = fn(self.tbl, self.bias, jnp.asarray(qp))
+        ids = np.asarray(ids, dtype=np.int64)
+        scores = np.asarray(scores, dtype=np.float64)
+        bad = ~np.isfinite(scores) | (ids < 0) | (ids >= index.n)
+        ids = np.where(bad, -1, ids)
+        if exact_rerank:
+            dists = index.dists_batch(q, ids, dtype=np.float32)
+            order = np.argsort(dists, axis=1, kind="stable")[:, :k]
+            ids = np.take_along_axis(ids, order, axis=1)
+            dists = np.take_along_axis(dists, order, axis=1)
+            return ids, dists
+        if index.distance == "L2":
+            qn = np.einsum("bd,bd->b", q.astype(np.float64), q.astype(np.float64))
+            dists = qn[:, None] - scores
+            dists = np.maximum(dists, 0.0)
+        else:
+            dists = 1.0 - scores
+        dists = np.where(ids < 0, np.inf, dists)
+        return ids, dists
+
+
+def sweep_search(index, qs, k, rt: float = 0.99, compute_dtype: str = "bf16",
+                 exact_rerank: bool = True):
+    """Module-level entry: per-index cached SweepTable."""
+    st = getattr(index, "_sweep_table", None)
+    if st is None:
+        st = SweepTable()
+        index._sweep_table = st
+    return st.search(
+        index, qs, k, rt=rt, compute_dtype=compute_dtype,
+        exact_rerank=exact_rerank,
+    )

@@ -125,6 +125,8 @@ class Db:
         # script-text → parsed template (params deferred) | None (uncacheable)
         self._plan_cache: Dict[str, Any] = {}
         self._plan_cache_max = 256
+        # script-text → PointPlan for single-atom retrievals (query/fastpath)
+        self._fast_plans: Dict[str, Any] = {}
 
     # ------------------------------------------------------------------ public
 
@@ -135,6 +137,13 @@ class Db:
         immutable: bool = False,
     ) -> NamedRows:
         cur_vld = current_validity_ts()
+        fast = self._fast_plans.get(payload)
+        if fast is not None:
+            from ..query import fastpath
+
+            res = fastpath.execute(fast, self, params or {}, cur_vld)
+            if res is not fastpath.MISS:
+                return res
         prog = self._parse_cached(payload, params or {})
         if prog is not None:
             return self._execute_single(prog, cur_vld, immutable)
@@ -161,8 +170,16 @@ class Db:
             except (CozoError, NotTemplatable):
                 entry = None
             if len(self._plan_cache) >= self._plan_cache_max:
-                self._plan_cache.pop(next(iter(self._plan_cache)))
+                old = next(iter(self._plan_cache))
+                self._plan_cache.pop(old)
+                self._fast_plans.pop(old, None)
             self._plan_cache[payload] = entry
+            if entry is not None:
+                from ..query import fastpath
+
+                plan = fastpath.analyze(entry)
+                if plan is not None:
+                    self._fast_plans[payload] = plan
         if entry is None:
             return None
         try:

@@ -203,11 +203,16 @@ def create_hnsw_index(db, cfg: A.HnswIndexConfig):
         handle.indices[cfg.index_name] = meta
         tx.put_relation_meta(handle)
 
-        # back-fill: bulk build over existing rows
+        # back-fill: wave-batched bulk build over existing rows (NOT the
+        # one-at-a-time insert path — reference back-fills via hnsw_put per
+        # row, runtime/relation.rs:1010; the TPU rebuild batches the whole
+        # scan through HnswIndex.bulk_build)
         cache = HnswCache(_new_index(manifest), manifest)
         store_tx = tx.store_tx_for(handle)
         filt = _compile_filter(manifest, handle)
         nk = len(handle.keys)
+        items: list = []
+        vecs: list = []
         for row in handle.scan_all(store_tx):
             if filt is not None and filt.eval(row) is not True:
                 continue
@@ -219,7 +224,14 @@ def create_hnsw_index(db, cfg: A.HnswIndexConfig):
                     raise IndexError_(
                         f"column '{fname}' of '{cfg.base_relation}' is not a vector"
                     )
-                _insert_item(cache, row[:nk], fi, vec)
+                items.append((list(row[:nk]), fi))
+                vecs.append(np.asarray(vec.a))
+        if items:
+            data = np.stack(vecs).astype(cache.index.dtype)
+            slots = cache.index.bulk_build(data, wave=2048)
+            for (key_vals, fi), slot in zip(items, slots):
+                cache.key_to_slot[cache.item_key(key_vals, fi)] = slot
+                cache.slot_to_item[slot] = (key_vals, fi)
         _sync_dirty_to_kv(cache, tx, handle, idx_handle)
         tx.commit()
         db.algo_cache[_cache_key(cfg.base_relation, cfg.index_name)] = cache

@@ -26,7 +26,7 @@ class MemTx(StoreTx):
     def __init__(self, store: "MemStorage", write: bool) -> None:
         self.store = store
         self.writable = write
-        self.overlay: dict = {} if write else None
+        self.overlay = SortedDict() if write else None
         self._done = False
 
     # -- reads --------------------------------------------------------------
@@ -69,9 +69,10 @@ class MemTx(StoreTx):
         if not self.overlay:
             yield from base
             return
-        over = sorted(
-            (k, self.overlay[k]) for k in self.overlay if lower <= k < upper
-        )
+        over = [
+            (k, self.overlay[k])
+            for k in self.overlay.irange(lower, upper, inclusive=(True, False))
+        ]
         yield from self._merge(base, over)
 
     def range_scan_rev(self, lower: bytes, upper: bytes) -> Iterator[Tuple[bytes, bytes]]:
@@ -79,10 +80,12 @@ class MemTx(StoreTx):
         if not self.overlay:
             yield from base
             return
-        over = sorted(
-            ((k, self.overlay[k]) for k in self.overlay if lower <= k < upper),
-            reverse=True,
-        )
+        over = [
+            (k, self.overlay[k])
+            for k in self.overlay.irange(
+                lower, upper, inclusive=(True, False), reverse=True
+            )
+        ]
         yield from self._merge(base, over, reverse=True)
 
     def _merge(self, base_iter, over_pairs, reverse=False):
@@ -130,7 +133,7 @@ class MemTx(StoreTx):
 
     def abort(self) -> None:
         self._done = True
-        self.overlay = {} if self.writable else None
+        self.overlay = SortedDict() if self.writable else None
 
 
 class MemStorage(Storage):

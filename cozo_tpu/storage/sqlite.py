@@ -8,6 +8,8 @@ persistent engine and as the portable backup format for every engine.
 from __future__ import annotations
 
 import sqlite3
+
+from sortedcontainers import SortedDict
 import threading
 from typing import Iterator, Optional, Tuple
 
@@ -21,7 +23,7 @@ class SqliteTx(StoreTx):
         self._done = False
         if write:
             self.store.wlock.acquire()
-            self.overlay: dict = {}
+            self.overlay = SortedDict()
         else:
             self.overlay = None
 
@@ -39,7 +41,10 @@ class SqliteTx(StoreTx):
         if not self.overlay:
             yield from rows
             return
-        overlay = {k: v for k, v in self.overlay.items() if lower <= k < upper}
+        overlay = {
+            k: self.overlay[k]
+            for k in self.overlay.irange(lower, upper, inclusive=(True, False))
+        }
         merged = {k: v for k, v in rows}
         merged.update(overlay)
         for k in sorted(merged):

@@ -10,6 +10,8 @@ modification sequences under an exclusive lock."""
 from __future__ import annotations
 
 import ctypes
+
+from sortedcontainers import SortedDict
 import os
 import subprocess
 from typing import Iterator, Optional, Tuple
@@ -116,7 +118,7 @@ class TkvTx(StoreTx):
     def __init__(self, store: "TkvStorage", write: bool) -> None:
         self.store = store
         self.writable = write
-        self.overlay: dict = {} if write else None
+        self.overlay = SortedDict() if write else None
         self.read_set: set = set() if write else None
         self.snapshot_seq = _lib().tkv_seq(store.handle) if write else 0
         self._done = False
@@ -163,8 +165,8 @@ class TkvTx(StoreTx):
             lib.tkv_iter_close(it)
 
     def _merged_scan(self, lower, upper, reverse):
-        over = sorted(
-            (k for k in self.overlay if lower <= k < upper), reverse=reverse
+        over = list(
+            self.overlay.irange(lower, upper, inclusive=(True, False), reverse=reverse)
         )
         base = self._base_scan(lower, upper, reverse)
         import heapq
@@ -255,7 +257,7 @@ class TkvTx(StoreTx):
 
     def abort(self) -> None:
         self._done = True
-        self.overlay = {} if self.writable else None
+        self.overlay = SortedDict() if self.writable else None
 
 
 class TkvStorage(Storage):
