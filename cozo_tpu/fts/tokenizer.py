@@ -75,9 +75,40 @@ def make_ngram(min_gram: int, max_gram: int, prefix_only: bool):
 
 
 def make_cangjie(kind: str = "default", hmm: bool = False):
-    """Chinese segmentation seam. Without a dictionary segmenter in this
-    environment, CJK runs split per codepoint (every char is a token) and
-    non-CJK runs tokenize like Simple — adequate for recall-style search."""
+    """Chinese segmentation (reference Cangjie = jieba,
+    fts/cangjie/*): dictionary segmentation via jieba when available —
+    `default`/`all` use cut(), `search` uses cut_for_search, `unicode`
+    falls back to per-codepoint.  Without jieba, CJK runs split per
+    codepoint and non-CJK runs tokenize like Simple."""
+    if kind != "unicode":
+        try:
+            import jieba
+
+            jieba.setLogLevel(60)
+
+            def tok_jieba(text: str) -> List[Token]:
+                if kind == "search":
+                    words = jieba.cut_for_search(text)
+                elif kind == "all":
+                    words = jieba.cut(text, cut_all=True, HMM=hmm)
+                else:
+                    words = jieba.cut(text, HMM=hmm)
+                out = []
+                pos = 0
+                off = 0
+                for w in words:
+                    start = text.find(w, off)
+                    if start < 0:
+                        start = off
+                    if w.strip() and any(c.isalnum() for c in w):
+                        out.append(Token(w, pos, start, start + len(w)))
+                        pos += 1
+                    off = max(off, start + len(w)) if kind != "all" else off
+                return out
+
+            return tok_jieba
+        except ImportError:  # pragma: no cover
+            pass
 
     def is_cjk(c: str) -> bool:
         return 0x3400 <= ord(c) <= 0x9FFF or 0xF900 <= ord(c) <= 0xFAFF
@@ -291,28 +322,89 @@ def _cvc(w):
     )
 
 
-def make_stemmer(lang: str = "english"):
-    lang = lang.lower()
-    if lang in ("english", "en"):
-        def f(tokens):
-            return [
-                Token(porter_stem(t.text), t.position, t.offset_from, t.offset_to)
-                for t in tokens
-            ]
-        return f
-    # other languages: identity (seam for dedicated stemmers)
-    return lambda tokens: list(tokens)
-
-
-_EN_STOPWORDS = frozenset(
-    """a an and are as at be but by for if in into is it no not of on or such
-    that the their then there these they this to was will with""".split()
+_SNOWBALL_LANGS = frozenset(
+    "arabic danish dutch english finnish french german hungarian italian "
+    "norwegian portuguese romanian russian spanish swedish".split()
 )
+
+# the full reference language set (fts/mod.rs:176-208)
+STEMMER_LANGS = _SNOWBALL_LANGS | {"greek", "tamil", "turkish"}
+
+
+def make_stemmer(lang: str = "english"):
+    """Stemmer filter for all 18 reference languages (fts/mod.rs:176-208):
+    Snowball algorithms via nltk for 15 of them, compact suffix-stripping
+    implementations (fts/stemmers_extra.py) for greek/tamil/turkish."""
+    lang = lang.lower()
+    if lang == "en":
+        lang = "english"
+    if lang not in STEMMER_LANGS:
+        from ..utils.errors import QueryError
+
+        raise QueryError(f"Unsupported language: {lang}")
+    if lang in ("greek", "tamil", "turkish"):
+        from . import stemmers_extra
+
+        stem = {
+            "greek": stemmers_extra.stem_greek,
+            "tamil": stemmers_extra.stem_tamil,
+            "turkish": stemmers_extra.stem_turkish,
+        }[lang]
+    else:
+        try:
+            from nltk.stem.snowball import SnowballStemmer
+
+            stem = SnowballStemmer(lang).stem
+        except Exception:  # pragma: no cover — nltk absent: porter fallback
+            stem = porter_stem if lang == "english" else (lambda w: w)
+
+    def f(tokens):
+        return [
+            Token(stem(t.text), t.position, t.offset_from, t.offset_to)
+            for t in tokens
+        ]
+
+    return f
+
+
+_STOPWORDS_CACHE: dict = {}
+
+
+def stopwords_for_lang(lang: str) -> frozenset:
+    """Per-language stopword lists (ISO 639-1 codes, 58 languages), the
+    same stopwords-iso data (MIT) the reference vendors
+    (fts/tokenizer/stop_word_filter/stopwords.rs)."""
+    got = _STOPWORDS_CACHE.get(lang)
+    if got is not None:
+        return got
+    if not _STOPWORDS_CACHE:
+        import json as _json
+        import os as _os
+
+        path = _os.path.join(_os.path.dirname(__file__), "stopwords_data.json")
+        for code, words in _json.load(open(path, encoding="utf-8")).items():
+            _STOPWORDS_CACHE[code] = frozenset(words)
+    got = _STOPWORDS_CACHE.get(lang)
+    if got is None:
+        from ..utils.errors import QueryError
+
+        raise QueryError(f"Unsupported language: {lang}")
+    return got
+
+
+_LANG_ALIASES = {
+    "english": "en", "german": "de", "french": "fr", "spanish": "es",
+    "italian": "it", "portuguese": "pt", "dutch": "nl", "danish": "da",
+    "norwegian": "no", "swedish": "sv", "finnish": "fi", "russian": "ru",
+    "arabic": "ar", "hungarian": "hu", "romanian": "ro", "greek": "el",
+    "turkish": "tr", "tamil": "ta", "chinese": "zh", "japanese": "ja",
+}
 
 
 def make_stopwords(arg) -> callable:
     if isinstance(arg, str):
-        words = _EN_STOPWORDS if arg.lower() in ("english", "en") else frozenset()
+        code = _LANG_ALIASES.get(arg.lower(), arg.lower())
+        words = stopwords_for_lang(code)
     else:
         words = frozenset(str(w).lower() for w in arg)
 

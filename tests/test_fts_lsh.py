@@ -24,7 +24,8 @@ def test_tokenizers():
     a = build_analyzer(("Whitespace", []), [])
     assert [t.text for t in a.analyze("a b,c")] == ["a", "b,c"]
     a = build_analyzer(("Cangjie", []), [])
-    assert [t.text for t in a.analyze("你好world")] == ["你", "好", "world"]
+    # jieba dictionary segmentation (reference Cangjie = jieba): 你好 is one word
+    assert [t.text for t in a.analyze("你好world")] == ["你好", "world"]
 
 
 def test_porter_stemmer():
