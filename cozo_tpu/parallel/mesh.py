@@ -101,6 +101,125 @@ def sharded_knn(mesh, vectors: "jax.Array", queries, k: int, distance: str = "L2
     return jax.jit(fn)(vectors, queries)
 
 
+class ShardedSweep:
+    """The serving-path vector index sharded over a device mesh.
+
+    Takes an `HnswIndex` (or just its vectors), converts rows to the
+    sweep score-form (`ops/exact_knn.SweepTable._prep_rows`), and
+    row-shards the chunked table over the mesh.  Search = per-shard
+    chunk scan + local top-k, all-gather of k·n_shards candidates, global
+    top-k — the >HBM scaling path of SURVEY §5.7/5.8 (queries replicate,
+    the table shards, collectives ride ICI)."""
+
+    def __init__(self, mesh, index, chunk: int = 1 << 14) -> None:
+        jax, jnp = _jx()
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..ops.exact_knn import SweepTable
+
+        self.mesh = mesh
+        self.axis = mesh.axis_names[0]
+        self.n_shards = mesh.devices.size
+        self.distance = index.distance
+        self.dim = index.dim
+        self.n = index.n
+        n_chunks = max(1, -(-index.n // chunk))
+        n_chunks = -(-n_chunks // self.n_shards) * self.n_shards
+        total = n_chunks * chunk
+        slots = np.arange(total, dtype=np.int64)
+        rows, bias = SweepTable._prep_rows(
+            index, np.minimum(slots, index.vectors.shape[0] - 1)
+        )
+        bias[slots >= index.n] = -np.inf
+        rows[slots >= index.n] = 0.0
+        self.chunk = chunk
+        self.n_chunks = n_chunks
+        self.d_pad = rows.shape[1]
+        self.tbl = jax.device_put(
+            rows.reshape(n_chunks, chunk, self.d_pad),
+            NamedSharding(mesh, P(self.axis, None, None)),
+        )
+        self.bias = jax.device_put(
+            bias.reshape(n_chunks, chunk),
+            NamedSharding(mesh, P(self.axis, None)),
+        )
+        self._fns = {}
+
+    def _fn(self, k: int):
+        jax, jnp = _jx()
+        from jax.sharding import PartitionSpec as P
+
+        fn = self._fns.get(k)
+        if fn is not None:
+            return fn
+        axis = self.axis
+        chunk = self.chunk
+        local_chunks = self.n_chunks // self.n_shards
+
+        def local(tbl_l, bias_l, qs):
+            B = qs.shape[0]
+            my = jax.lax.axis_index(axis)
+
+            def body(carry, xs):
+                best_s, best_i, ci = carry
+                chunk_v, chunk_b = xs
+                s = jax.lax.dot_general(
+                    qs.astype(jnp.bfloat16), chunk_v.astype(jnp.bfloat16),
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) + chunk_b[None, :]
+                nd, ni = jax.lax.top_k(s, k)
+                ni = ni + (my * local_chunks + ci) * chunk
+                md = jnp.concatenate([best_s, nd], axis=1)
+                mi = jnp.concatenate([best_i, ni], axis=1)
+                td, ti = jax.lax.top_k(md, k)
+                return (td, jnp.take_along_axis(mi, ti, axis=1), ci + 1), None
+
+            init = (
+                jnp.full((B, k), -jnp.inf, jnp.float32),
+                jnp.full((B, k), -1, jnp.int32),
+                jnp.int32(0),
+            )
+            (ls, li, _), _ = jax.lax.scan(body, init, (tbl_l, bias_l))
+            all_s = jax.lax.all_gather(ls, axis)  # [S, B, k]
+            all_i = jax.lax.all_gather(li, axis)
+            all_s = jnp.moveaxis(all_s, 0, 1).reshape(B, -1)
+            all_i = jnp.moveaxis(all_i, 0, 1).reshape(B, -1)
+            gd, gp = jax.lax.top_k(all_s, k)
+            return jnp.take_along_axis(all_i, gp, axis=1), gd
+
+        fn = jax.jit(
+            _shard_map(
+                local,
+                self.mesh,
+                (P(axis, None, None), P(axis, None), P(None, None)),
+                (P(None, None), P(None, None)),
+            )
+        )
+        self._fns[k] = fn
+        return fn
+
+    def search(self, qs: np.ndarray, k: int):
+        jax, jnp = _jx()
+        q = np.asarray(qs, dtype=np.float32)
+        B, d = q.shape
+        qp = np.zeros((B, self.d_pad), dtype=np.float32)
+        if self.distance == "Cosine":
+            nrm = np.linalg.norm(q, axis=1, keepdims=True)
+            qp[:, :d] = q / np.where(nrm > 0, nrm, 1.0)
+        else:
+            qp[:, :d] = q
+        ids, scores = self._fn(k)(self.tbl, self.bias, jnp.asarray(qp))
+        ids = np.asarray(ids, dtype=np.int64)
+        scores = np.asarray(scores, dtype=np.float64)
+        if self.distance == "L2":
+            qn = np.einsum("bd,bd->b", q.astype(np.float64), q.astype(np.float64))
+            dists = np.maximum(qn[:, None] - scores, 0.0)
+        else:
+            dists = 1.0 - scores
+        bad = ~np.isfinite(scores) | (ids < 0) | (ids >= self.n)
+        return np.where(bad, -1, ids), np.where(bad, np.inf, dists)
+
+
 def sharded_pagerank_step(mesh, src, dst, contrib_denom, n_nodes: int):
     """One PageRank spMV step over an edge-sharded graph.
 
