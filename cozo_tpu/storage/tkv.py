@@ -106,6 +106,8 @@ def _lib():
     ]
     lib.tkv_compact.restype = ctypes.c_int
     lib.tkv_compact.argtypes = [ctypes.c_void_p]
+    lib.tkv_set_sync.restype = None
+    lib.tkv_set_sync.argtypes = [ctypes.c_void_p, ctypes.c_int]
     _LIB = lib
     return lib
 
@@ -263,11 +265,15 @@ class TkvTx(StoreTx):
 class TkvStorage(Storage):
     name = "tkv"
 
-    def __init__(self, path: str = "") -> None:
+    def __init__(self, path: str = "", sync_mode: int = 1) -> None:
+        """sync_mode: 0 = buffered WAL, 1 = fflush per commit (survives
+        SIGKILL; default — matches RocksDB's default non-fsync WAL),
+        2 = fdatasync per commit (survives power loss)."""
         self.path = path
         self.handle = _lib().tkv_open(path.encode("utf-8"))
         if not self.handle:
             raise StorageError(f"cannot open tkv database at {path!r}")
+        _lib().tkv_set_sync(self.handle, int(sync_mode))
 
     def transact(self, write: bool = False) -> TkvTx:
         return TkvTx(self, write)
