@@ -245,25 +245,41 @@ class RelationHandle:
     def scan_at_validity(
         self, tx: StoreTx, prefix_vals, vld_ts: int
     ) -> Iterator[List[Any]]:
-        """Time-travel scan: for each distinct non-validity key group, yield
-        the newest fact at or before `vld_ts` if it is an assert
-        (reference `relation.rs:357-518` skip_scan variants; validity sorts
-        descending so the first row with ts <= vld_ts decides)."""
+        """Time-travel SKIP-scan: for each distinct non-validity key group,
+        seek directly to the newest fact at or before `vld_ts`, then seek
+        past the rest of the group's history (reference
+        `data/tuple.rs:60` check_key_for_validity next-seek keys +
+        `storage/mod.rs` range_skip_scan_tuple).  Deep histories cost
+        O(log n) per group instead of O(history)."""
+        from ..data.memcmp import encode_value
+
         nk = len(self.keys) - 1  # positions before the validity column
-        cur_group = None
-        decided = False
-        for row in self.scan_prefix(tx, prefix_vals):
-            group = tuple(cmp_key(v) for v in row[:nk])
-            if group != cur_group:
-                cur_group = group
-                decided = False
-            if decided:
-                continue
+        lower = encode_key(self.id, prefix_vals)
+        upper = lower + b"\xff" * 8
+        while True:
+            first = tx.seek_first(lower, upper)
+            if first is None:
+                return
+            k, v = first
+            row = self.decode_row(k, v)
+            group_prefix = encode_key(self.id, row[:nk])
             vld = row[nk]
             if isinstance(vld, Validity) and vld.ts <= vld_ts:
-                decided = True
+                # newest fact of this group at/before vld_ts
                 if vld.is_assert:
                     yield row
+            elif isinstance(vld, Validity):
+                # newer than vld_ts: seek within the group to ts <= vld_ts
+                buf = bytearray()
+                encode_value(buf, Validity(vld_ts, True))
+                hit = tx.seek_first(group_prefix + bytes(buf), upper)
+                if hit is not None and hit[0].startswith(group_prefix):
+                    row2 = self.decode_row(*hit)
+                    vld2 = row2[nk]
+                    if isinstance(vld2, Validity) and vld2.is_assert:
+                        yield row2
+            # skip the remainder of this group's history
+            lower = group_prefix + b"\xff" * 9
 
 
 # --- catalog over the SYSTEM range ---------------------------------------------

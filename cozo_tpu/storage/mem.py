@@ -39,24 +39,27 @@ class MemTx(StoreTx):
     def _base_chunks(self, lower: bytes, upper: bytes, reverse: bool):
         """Yield (key, value) pairs from the shared map, materializing one
         chunk at a time under the store lock (no iteration of the shared
-        SortedDict outside the lock)."""
+        SortedDict outside the lock).  Chunks start small and grow so
+        short scans (point/seek patterns) don't pay for 4096-row chunks."""
         data = self.store.data
         lo, hi = lower, upper
         inclusive = (True, False)
+        size = 32
         while True:
             chunk = []
             with self.store.lock:
                 it = data.irange(lo, hi, inclusive=inclusive, reverse=reverse)
                 for k in it:
                     chunk.append((k, data[k]))
-                    if len(chunk) >= _SCAN_CHUNK:
+                    if len(chunk) >= size:
                         break
             if not chunk:
                 return
             yield from chunk
             last = chunk[-1][0]
-            if len(chunk) < _SCAN_CHUNK:
+            if len(chunk) < size:
                 return
+            size = min(size * 8, _SCAN_CHUNK)
             if reverse:
                 hi = last
                 inclusive = (True, False)
@@ -110,6 +113,35 @@ class MemTx(StoreTx):
             j += 1
             if ov is not None:
                 yield ok, ov
+
+    def seek_first(self, lower: bytes, upper: bytes):
+        """First live pair >= lower (< upper), O(log n): no chunking."""
+        data = self.store.data
+        lo = lower
+        while True:
+            with self.store.lock:
+                bk = next(data.irange(lo, upper, inclusive=(True, False)), None)
+                bv = data[bk] if bk is not None else None
+            ok = None
+            if self.overlay:
+                ok = next(
+                    self.overlay.irange(lo, upper, inclusive=(True, False)), None
+                )
+            if ok is not None and (bk is None or ok <= bk):
+                ov = self.overlay[ok]
+                if ov is None:  # overlay delete shadows base
+                    if bk == ok:
+                        lo = ok + b"\x00"
+                        continue
+                    # base key (if any) earlier than ok is unshadowed
+                    if bk is not None and bk < ok:
+                        return (bk, bv)
+                    lo = ok + b"\x00"
+                    continue
+                return (ok, ov)
+            if bk is None:
+                return None
+            return (bk, bv)
 
     # -- writes -------------------------------------------------------------
     def put(self, key: bytes, value: bytes) -> None:

@@ -56,6 +56,31 @@ class SqliteTx(StoreTx):
         items = list(self.range_scan(lower, upper))
         yield from reversed(items)
 
+    def seek_first(self, lower: bytes, upper: bytes):
+        lo = lower
+        while True:
+            row = self.store.conn.execute(
+                "SELECT k, v FROM cozo WHERE k >= ? AND k < ? ORDER BY k LIMIT 1",
+                (lo, upper),
+            ).fetchone()
+            bk = row[0] if row else None
+            ok = None
+            if self.overlay:
+                ok = next(
+                    self.overlay.irange(lo, upper, inclusive=(True, False)), None
+                )
+            if ok is not None and (bk is None or ok <= bk):
+                ov = self.overlay[ok]
+                if ov is None:
+                    if bk is not None and bk < ok:
+                        return (bytes(bk), bytes(row[1]))
+                    lo = ok + b"\x00"
+                    continue
+                return (ok, ov)
+            if bk is None:
+                return None
+            return (bytes(bk), bytes(row[1]))
+
     def range_count(self, lower: bytes, upper: bytes) -> int:
         if not self.overlay:
             cur = self.store.conn.execute(
