@@ -169,7 +169,10 @@ def execute_mutation(
             handle.put_triggers, handle.rm_triggers = replaced_old_triggers
             tx.put_relation_meta(handle)
     else:
-        handle = tx.get_relation(name, for_update=True)
+        # the shared raw-validated handle cache is exactly as fresh as a
+        # re-deserialization (it compares the stored catalog bytes); row
+        # mutations never modify relation meta, so no for_update needed
+        handle = tx.get_relation(name)
 
     key_inputs, val_inputs = _input_cols(store_rel.schema, headers)
 

@@ -274,7 +274,7 @@ class Db:
     def _new_session(self, write: bool, cur_vld: int) -> SessionTx:
         return SessionTx(
             self.storage.transact(write=write),
-            MemStorage(),
+            MemStorage,  # lazily constructed on first `_rel` access
             cur_vld,
             handle_cache=self._handle_cache,
             rel_id_alloc=self._alloc_rel_id,
@@ -356,6 +356,16 @@ class Db:
         else:
             if "?" not in prog.rules:
                 raise QueryError("entry rule '?' not found", code="eval::no_entry")
+            const_rows = self._try_const_entry(prog)
+            if const_rows is not None:
+                # single const entry rule: materialize directly (the general
+                # pipeline costs ~150µs of normalize/stratify/eval per write)
+                rows = const_rows
+                headers = self._entry_headers(prog)
+                return self._query_epilogue(
+                    tx, prog, rows, headers, cur_vld, callback_targets,
+                    callback_collector, propagate_triggers,
+                )
             nf = normalize_program(prog)
             if not opts.disable_magic_rewrite:
                 from ..query.magic import magic_rewrite
@@ -381,6 +391,17 @@ class Db:
             rows.sort(key=lambda r: tuple(cmp_key(v) for v in r))
             headers = self._entry_headers(prog)
 
+        return self._query_epilogue(
+            tx, prog, rows, headers, cur_vld, callback_targets,
+            callback_collector, propagate_triggers,
+        )
+
+    def _query_epilogue(
+        self, tx, prog, rows, headers, cur_vld, callback_targets,
+        callback_collector, propagate_triggers,
+    ) -> NamedRows:
+        """Shared tail: sorters/limit/asserts/sleep + the mutation step."""
+        opts = prog.out_opts
         if opts.sorters:
             rows = self._apply_sorters(rows, headers, opts.sorters)
         if opts.offset:
@@ -427,6 +448,36 @@ class Db:
                 return NamedRows(["_kind"] + handle.col_names(), returning)
             return NamedRows.ok()
         return NamedRows(headers, rows)
+
+    def _try_const_entry(self, prog: InputProgram):
+        """Rows for a single constant `?` rule, bypassing normalize/
+        stratify/eval — the OLTP write shape (`?[..] <- $rows :put ..`).
+        Returns None when not applicable (falls back to the pipeline)."""
+        from ..data.expr import Const
+        from ..data.program import ConstRule
+
+        if len(prog.rules) != 1:
+            return None
+        rules = prog.rules.get("?")
+        if not rules or len(rules) != 1 or not isinstance(rules[0], ConstRule):
+            return None
+        r = rules[0]
+        data = r.data if isinstance(r.data, Const) else r.data.fold_const()
+        if not isinstance(data, Const) or not isinstance(data.val, list):
+            return None
+        arity = len(r.head)
+        rows = []
+        for row in data.val:
+            if not isinstance(row, (list, tuple)) or len(row) != arity:
+                return None  # canonical error from the general path
+            rows.append(list(row))
+        if len(rows) > 1:
+            # set semantics + memo output order
+            dedup = {}
+            for row in rows:
+                dedup[tuple(cmp_key(v) for v in row)] = row
+            rows = [row for _, row in sorted(dedup.items())]
+        return rows
 
     @staticmethod
     def _entry_headers(prog: InputProgram) -> List[str]:

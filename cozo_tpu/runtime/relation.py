@@ -66,13 +66,22 @@ class ColumnDef:
         return parse_expressions(self.default_src)
 
 
+_COL_TYPE_CACHE: Dict[str, Optional[ColType]] = {}
+
+
 def parse_col_type_str(s: str) -> Optional[ColType]:
+    """Memoized: handles deserialize on every uncached catalog read and the
+    distinct type-string population is tiny; ColType instances are treated
+    as immutable everywhere."""
     if s is None:
         return None
-    from ..parse.parser import Parser
+    got = _COL_TYPE_CACHE.get(s)
+    if got is None and s not in _COL_TYPE_CACHE:
+        from ..parse.parser import Parser
 
-    p = Parser(s)
-    return p.parse_col_type()
+        got = Parser(s).parse_col_type()
+        _COL_TYPE_CACHE[s] = got
+    return got
 
 
 @dataclass

@@ -20,14 +20,28 @@ class SessionTx:
         rel_id_alloc: Optional[Any] = None,
     ) -> None:
         self.store_tx = store_tx
-        self.temp_store = temp_store
-        self.temp_tx = temp_store.transact(write=True)
+        self._temp_store = temp_store
+        self._temp_tx = None  # created on first `_rel` access (OLTP hot path
+        # never touches temp storage; a SortedDict per query is measurable)
         self.cur_vld = cur_vld
         self._rel_cache: Dict[str, RelationHandle] = {}
         # db-level (raw_bytes, handle) cache shared across queries; validated
         # against the raw catalog bytes so DDL invalidates naturally
         self._shared_cache = handle_cache
         self._rel_id_alloc = rel_id_alloc
+
+    @property
+    def temp_store(self):
+        ts = self._temp_store
+        if isinstance(ts, type):  # a factory class, not an instance
+            ts = self._temp_store = ts()
+        return ts
+
+    @property
+    def temp_tx(self):
+        if self._temp_tx is None:
+            self._temp_tx = self.temp_store.transact(write=True)
+        return self._temp_tx
 
     # --- relations ------------------------------------------------------------
 
@@ -95,8 +109,10 @@ class SessionTx:
 
     def commit(self) -> None:
         self.store_tx.commit()
-        self.temp_tx.commit()
+        if self._temp_tx is not None:
+            self._temp_tx.commit()
 
     def abort(self) -> None:
         self.store_tx.abort()
-        self.temp_tx.abort()
+        if self._temp_tx is not None:
+            self._temp_tx.abort()
