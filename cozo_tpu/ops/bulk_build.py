@@ -96,6 +96,100 @@ def _select_fn(n_chunks: int, chunk: int, d_pad: int, P: int, mmax: int,
     return fn
 
 
+_STEP_FNS = {}
+
+
+def _build_step_fn(n_chunks: int, chunk: int, d_pad: int, W: int, P: int,
+                   mmax: int, metric: str, rt: float):
+    """One fused device call per wave: scatter the wave's rows into the
+    resident table (donated buffers — no copy), sweep-search the whole
+    table for each wave vector's top-P candidates (self-match masked),
+    and run the batched selection heuristic.  One relay round-trip per
+    wave instead of three (the axon link has ~0.5s/call fixed cost)."""
+    jax, jnp = _jx()
+    key = (n_chunks, chunk, d_pad, W, P, mmax, metric, rt)
+    fn = _STEP_FNS.get(key)
+    if fn is not None:
+        return fn
+
+    from functools import partial as _partial
+
+    @_partial(jax.jit, donate_argnums=(0, 1))
+    def run(tbl, bias, new_rows, new_bias, cs, rs, slots):
+        tbl = tbl.at[cs, rs].set(new_rows)
+        bias = bias.at[cs, rs].set(new_bias)
+        # query form from storage form: L2 rows are 2v (q·row = 2 q·v);
+        # cosine/IP rows are the (normalized) vectors themselves
+        if metric == "L2":
+            qs = new_rows * 0.5
+        else:
+            qs = new_rows
+
+        def body(carry, xs):
+            best_s, best_i, ci = carry
+            chunk_v, chunk_b = xs
+            s = jax.lax.dot_general(
+                qs.astype(jnp.bfloat16), chunk_v.astype(jnp.bfloat16),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + chunk_b[None, :]
+            nd, ni = jax.lax.approx_max_k(s, P + 1, recall_target=rt)
+            ni = ni + ci * chunk
+            md = jnp.concatenate([best_s, nd], axis=1)
+            mi = jnp.concatenate([best_i, ni], axis=1)
+            td, ti = jax.lax.top_k(md, P + 1)
+            return (td, jnp.take_along_axis(mi, ti, axis=1), ci + 1), None
+
+        init = (
+            jnp.full((W, P + 1), -jnp.inf, jnp.float32),
+            jnp.full((W, P + 1), -1, jnp.int32),
+            jnp.int32(0),
+        )
+        (scores, ids, _), _ = jax.lax.scan(body, init, (tbl, bias))
+        # mask self-matches, keep top P
+        scores = jnp.where(ids == slots[:, None], -jnp.inf, scores)
+        scores, ti = jax.lax.top_k(scores, P)
+        pool_ids = jnp.take_along_axis(ids, ti, axis=1)
+        if metric == "L2":
+            qn = jnp.sum(qs * qs, axis=1, keepdims=True)
+            pool_d = qn - scores
+        else:
+            pool_d = 1.0 - scores
+        pool_d = jnp.where(jnp.isfinite(scores), pool_d, jnp.inf)
+
+        # batched selection heuristic (pairwise dists from table rows)
+        flat = tbl.reshape(-1, d_pad)
+        bflat = bias.reshape(-1)
+        safe = jnp.where(pool_ids >= 0, pool_ids, 0)
+        rows = flat[safe]
+        b = bflat[safe]
+        dots = jnp.einsum(
+            "wpd,wqd->wpq", rows, rows, preferred_element_type=jnp.float32
+        )
+        if metric == "L2":
+            pair = -b[:, :, None] - b[:, None, :] - dots * 0.5
+        else:
+            pair = 1.0 - dots
+        valid = (pool_ids >= 0) & jnp.isfinite(pool_d)
+
+        def sel_body(i, state):
+            dominated, count, sel = state
+            can = (~dominated[:, i]) & (count < mmax) & valid[:, i]
+            sel = sel.at[:, i].set(can)
+            count = count + can.astype(jnp.int32)
+            dominated = dominated | (can[:, None] & (pair[:, i, :] < pool_d))
+            return dominated, count, sel
+
+        dominated = jnp.zeros((W, P), bool)
+        count = jnp.zeros((W,), jnp.int32)
+        sel = jnp.zeros((W, P), bool)
+        _, _, sel = jax.lax.fori_loop(0, P, sel_body, (dominated, count, sel))
+        return tbl, bias, pool_ids, pool_d, sel
+
+    _STEP_FNS[key] = run
+    return run
+
+
 def bulk_build_device(index, data: np.ndarray, wave: int = 4096,
                       pool_size: Optional[int] = None) -> list:
     """Fresh build of `index` (must be empty) from `data`. Returns slots."""
@@ -108,11 +202,20 @@ def bulk_build_device(index, data: np.ndarray, wave: int = 4096,
     m0 = index.m_max0
     efc = index.ef_construction
     P = pool_size or min(max(efc, 2 * m0), 96)
-    # reserve capacity so the sweep table compiles once for this build
+    # reserve capacity so the sweep table compiles once for this build;
+    # the device table starts as zeros ON DEVICE (dead bias) — vectors
+    # cross the host→device link exactly once, wave by wave
     index._grow(n_new)
     st = SweepTable()
-    st.reserve = n_new  # hint consumed by refresh()
+    st.reserve = n_new
     index._sweep_table = st
+    from .exact_knn import _chunking
+
+    chunk, n_chunks = _chunking(n_new)
+    d_pad = max(128, int(math.ceil(index.dim / 128) * 128))
+    st.chunk, st.n_chunks, st.d_pad = chunk, n_chunks, d_pad
+    st.tbl = jnp.zeros((n_chunks, chunk, d_pad), jnp.float32)
+    st.bias = jnp.full((n_chunks, chunk), -jnp.inf, jnp.float32)
 
     # level 0 link bookkeeping (vectorized reverse links need distances)
     cap = index.vectors.shape[0]
@@ -144,31 +247,39 @@ def bulk_build_device(index, data: np.ndarray, wave: int = 4096,
         index.n = end
         max_l = int(levels[pos:end].max(initial=0))
         index._ensure_level(max_l)
-        index.sweep_pending.update(range(pos, end))
         index.version += 1
 
-        # -- 2. exact candidates via the device sweep (includes the wave
-        # itself; self-matches dropped below)
+        # -- 2+3. ONE fused device call: scatter wave rows into the
+        # resident table, sweep-search candidates (self-masked), run the
+        # batched selection heuristic
         t_ph = time.time()
-        ids, dists = st.search(index, batch, P + 1, rt=0.99, exact_rerank=False)
+        rows_w, bias_w = SweepTable._prep_rows(index, slots)
+        w_pad = wave
+        if W < w_pad:
+            rows_w = np.concatenate(
+                [rows_w, np.repeat(rows_w[:1], w_pad - W, axis=0)]
+            )
+            bias_w = np.concatenate([bias_w, np.repeat(bias_w[:1], w_pad - W)])
+        slots_p = np.full(w_pad, slots[0], dtype=np.int64)
+        slots_p[:W] = slots
+        cs = (slots_p // chunk).astype(np.int32)
+        rs = (slots_p % chunk).astype(np.int32)
+        step = _build_step_fn(
+            n_chunks, chunk, d_pad, w_pad, P, m0, index.distance, 0.99
+        )
+        st.tbl, st.bias, pool_ids_d, pool_d_d, sel_d = step(
+            st.tbl, st.bias, jnp.asarray(rows_w), jnp.asarray(bias_w),
+            jnp.asarray(cs), jnp.asarray(rs),
+            jnp.asarray(slots_p.astype(np.int32)),
+        )
+        st.version = index.version
+        st.n_slots = index.n
+        index.sweep_pending.clear()
+        pool_ids = np.asarray(pool_ids_d)[:W].astype(np.int64)
+        pool_d = np.asarray(pool_d_d)[:W]
+        sel = np.asarray(sel_d)[:W]
         ph_sweep = time.time() - t_ph
-        t_ph = time.time()
-        drop_self = ids == slots[:, None]
-        # also drop any remaining overflow column
-        ids = np.where(drop_self, -1, ids)
-        dists = np.where(drop_self, np.inf, dists)
-        order = np.argsort(dists, axis=1, kind="stable")[:, :P]
-        pool_ids = np.take_along_axis(ids, order, axis=1).astype(np.int32)
-        pool_d = np.take_along_axis(dists, order, axis=1).astype(np.float32)
-
-        # -- 3. device-batched selection heuristic (level 0)
-        sel_fn = _select_fn(
-            st.n_chunks, st.chunk, st.d_pad, P, m0, index.distance
-        )
-        sel = np.asarray(
-            sel_fn(st.tbl, st.bias, jnp.asarray(pool_ids), jnp.asarray(pool_d))
-        )
-        ph_select = time.time() - t_ph
+        ph_select = 0.0
         t_ph = time.time()
 
         # -- 4. out-links + vectorized reverse links at level 0
