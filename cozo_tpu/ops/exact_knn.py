@@ -61,13 +61,18 @@ _SWEEP_FNS = {}
 
 
 def _sweep_fn(n_chunks: int, chunk: int, d_pad: int, k: int, rt: float,
-              compute_dtype: str):
+              compute_dtype: str, rerank_k: int = 0, metric: str = "IP"):
+    """rerank_k > 0: over-fetch rerank_k candidates in the bf16 scan, then
+    re-score them on device in true f32 (HIGHEST precision; L2 uses the
+    cancellation-free diff form) and return the exact top-k — all inside
+    one jit, so serving is a single relay round-trip."""
     jax, jnp = _jx()
-    key = (n_chunks, chunk, d_pad, k, rt, compute_dtype)
+    key = (n_chunks, chunk, d_pad, k, rt, compute_dtype, rerank_k, metric)
     fn = _SWEEP_FNS.get(key)
     if fn is not None:
         return fn
     cdt = jnp.bfloat16 if compute_dtype == "bf16" else jnp.float32
+    kf = max(k, rerank_k)
 
     @jax.jit
     def run(tbl, bias, qs):
@@ -90,22 +95,43 @@ def _sweep_fn(n_chunks: int, chunk: int, d_pad: int, k: int, rt: float,
                 ),
             ) + chunk_b[None, :]
             if rt >= 1.0:
-                nd, ni = jax.lax.top_k(s, k)
+                nd, ni = jax.lax.top_k(s, kf)
             else:
-                nd, ni = jax.lax.approx_max_k(s, k, recall_target=rt)
+                nd, ni = jax.lax.approx_max_k(s, kf, recall_target=rt)
             ni = ni + ci * chunk
             md = jnp.concatenate([best_s, nd], axis=1)
             mi = jnp.concatenate([best_i, ni], axis=1)
-            td, ti = jax.lax.top_k(md, k)
+            td, ti = jax.lax.top_k(md, kf)
             return (td, jnp.take_along_axis(mi, ti, axis=1), ci + 1), None
 
         init = (
-            jnp.full((B, k), -jnp.inf, jnp.float32),
-            jnp.full((B, k), -1, jnp.int32),
+            jnp.full((B, kf), -jnp.inf, jnp.float32),
+            jnp.full((B, kf), -1, jnp.int32),
             jnp.int32(0),
         )
         (bs, bi, _), _ = jax.lax.scan(body, init, (tbl, bias))
-        return bi, bs
+        if rerank_k <= 0:
+            return bi, bs
+        # exact f32 rescore of the candidate set
+        flat = tbl.reshape(-1, d_pad)
+        safe = jnp.where(bi >= 0, bi, 0)
+        rows = flat[safe]  # [B, kf, d_pad]
+        valid = (bi >= 0) & jnp.isfinite(bs)
+        if metric == "L2":
+            v = rows * 0.5  # storage form is 2v; sweep queries are raw q
+            diff = qs[:, None, :] - v
+            d_exact = jnp.sum(diff * diff, axis=2)
+            s_exact = -d_exact
+        else:
+            s_exact = jnp.einsum(
+                "bkd,bd->bk", rows, qs,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        s_exact = jnp.where(valid, s_exact, -jnp.inf)
+        ts, ti = jax.lax.top_k(s_exact, k)
+        out_i = jnp.take_along_axis(bi, ti, axis=1)
+        return out_i, ts
 
     _SWEEP_FNS[key] = run
     return run
@@ -239,29 +265,29 @@ class SweepTable:
             qp[:, :d] = q / nrm
         else:
             qp[:, :d] = q
-        # over-fetch, then exact f64 host re-rank: corrects bf16 rank noise
+        # over-fetch + on-device exact f32 re-rank: corrects bf16 rank noise
         # inside the candidate set AND makes bind_distance exact (reference
-        # hnsw_knn returns true distances, runtime/hnsw.rs:943-1006)
-        kf = min(k + 16, self.n_chunks * self.chunk) if exact_rerank else k
-        fn = _sweep_fn(self.n_chunks, self.chunk, self.d_pad, kf, rt, compute_dtype)
+        # hnsw_knn returns true f32 distances, runtime/hnsw.rs:943-1006),
+        # all in one relay round-trip
+        rerank_k = min(k + 16, self.n_chunks * self.chunk) if exact_rerank else 0
+        fn = _sweep_fn(
+            self.n_chunks, self.chunk, self.d_pad, k, rt, compute_dtype,
+            rerank_k=rerank_k, metric=index.distance,
+        )
         ids, scores = fn(self.tbl, self.bias, jnp.asarray(qp))
         ids = np.asarray(ids, dtype=np.int64)
         scores = np.asarray(scores, dtype=np.float64)
         bad = ~np.isfinite(scores) | (ids < 0) | (ids >= index.n)
         ids = np.where(bad, -1, ids)
         if exact_rerank:
-            dists = index.dists_batch(q, ids, dtype=np.float32)
-            order = np.argsort(dists, axis=1, kind="stable")[:, :k]
-            ids = np.take_along_axis(ids, order, axis=1)
-            dists = np.take_along_axis(dists, order, axis=1)
-            return ids, dists
-        if index.distance == "L2":
+            # scores are exact f32: L2 returns -||q-v||^2, others similarity
+            dists = -scores if index.distance == "L2" else 1.0 - scores
+        elif index.distance == "L2":
             qn = np.einsum("bd,bd->b", q.astype(np.float64), q.astype(np.float64))
-            dists = qn[:, None] - scores
-            dists = np.maximum(dists, 0.0)
+            dists = np.maximum(qn[:, None] - scores, 0.0)
         else:
             dists = 1.0 - scores
-        dists = np.where(ids < 0, np.inf, dists)
+        dists = np.where(bad, np.inf, dists)
         return ids, dists
 
 
