@@ -277,7 +277,14 @@ def sssp_device(indptr, dst, w, sources, max_iters: int = 512, cache_key=None):
     n = len(indptr) - 1
     e = len(dst)
     n_pad = _pad_pow2(n + 1)
-    e_pad = _pad_pow2(max(e, 1))
+    # pad at 1/16-pow2 granularity (a graph just over a power of two must
+    # not double its per-iteration work); above EDGE_CHUNK, pad to chunk
+    # multiples so the scan reshape stays exact
+    if e > EDGE_CHUNK:
+        e_pad = ((e + EDGE_CHUNK - 1) // EDGE_CHUNK) * EDGE_CHUNK
+    else:
+        gran = max(4096, _pad_pow2(max(e, 1)) // 16)
+        e_pad = ((max(e, 1) + gran - 1) // gran) * gran
     staged = _GRAPH_DEV_CACHE.get(("sssp", cache_key)) if cache_key else None
     if staged is None:
         dummy = n_pad - 1
