@@ -1,0 +1,63 @@
+"""BASELINE config #4: MinHash-LSH near-duplicate search over 1M short
+docs (banded Jaccard), end-to-end through the Db (::lsh create backfill +
+~rel:idx search atoms). Records numbers for BENCH_NOTES.md."""
+
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import time
+
+import numpy as np
+
+from cozo_tpu import Db
+
+N = 1_000_000
+rng = np.random.default_rng(5)
+VOCAB = 50_000
+
+def make_doc(r):
+    n_words = 8 + int(r.integers(0, 10))
+    return " ".join(f"w{int(w)}" for w in r.integers(0, VOCAB, n_words))
+
+t0 = time.time()
+docs = []
+base_rngs = rng.spawn(16)
+for br in base_rngs:
+    for _ in range(N // 16):
+        docs.append(make_doc(br))
+# plant near-duplicates: docs[i] for i in 0..999 get a dup at N-1000+i
+for i in range(1000):
+    words = docs[i].split()
+    words[0] = "wDUP"
+    docs[N - 1000 + i] = " ".join(words)
+print(f"docgen {time.time()-t0:.0f}s", flush=True)
+
+db = Db("mem")
+db.run_script(":create doc {id: Int => body: String}")
+t0 = time.time()
+CH = 50_000
+for s in range(0, N, CH):
+    rows = [[i, docs[i]] for i in range(s, min(s + CH, N))]
+    db.run_script("?[id, body] <- $rows :put doc {id => body}", params={"rows": rows})
+print(f"ingest {N} docs: {time.time()-t0:.0f}s", flush=True)
+
+t0 = time.time()
+db.run_script(
+    "::lsh create doc:sim {extractor: body, tokenizer: Simple, n_perm: 128, "
+    "target_threshold: 0.7}"
+)
+el = time.time() - t0
+print(f"lsh index build: {el:.0f}s ({N/el:,.0f} docs/s)", flush=True)
+
+# query: the 1000 originals must find their planted dups
+t0 = time.time()
+hits = 0
+B = 200
+for i in range(B):
+    res = db.run_script(
+        "?[id] := ~doc:sim{id | query: $q, k: 5}", params={"q": docs[i]}
+    )
+    ids = {r[0] for r in res.rows}
+    if (N - 1000 + i) in ids:
+        hits += 1
+el = time.time() - t0
+print(f"queries: {B/el:,.0f} QPS, planted-dup recall {hits/B:.3f}", flush=True)
