@@ -622,6 +622,11 @@ class Db:
 
         out = SqliteStorage(path)
         try:
+            # the backup target is a fresh file: journaling/fsync buy
+            # nothing (a crash mid-backup leaves an unusable file either
+            # way), and dropping them ~doubles throughput
+            out.conn.execute("PRAGMA journal_mode=OFF")
+            out.conn.execute("PRAGMA synchronous=OFF")
             tx = self.storage.transact(write=False)
             out.batch_put(tx.total_scan())
             tx.abort()

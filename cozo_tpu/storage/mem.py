@@ -185,5 +185,10 @@ class MemStorage(Storage):
 
     def batch_put(self, items) -> None:
         with self.lock:
-            for k, v in items:
-                self.data[k] = v
+            if not self.data:
+                # bulk load into an empty store: SortedDict.update builds
+                # the sorted structure in one pass (restore_backup path)
+                self.data.update(items)
+            else:
+                for k, v in items:
+                    self.data[k] = v
