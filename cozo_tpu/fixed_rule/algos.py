@@ -60,6 +60,38 @@ class PageRank(FixedRule):
             _check(poison)
             out_put([v, float(scores[i])])
 
+    def run_bulk(self, payload, poison):
+        """Bulk output lane: PageRank emits one distinct row per vertex;
+        when the staging path interned vertices via np.unique (sorted Int
+        ids) the rows are already in cmp_key order, so the entry store
+        can skip per-row dedup AND the final million-row sort."""
+        edges = payload.get_input(0)
+        undirected = payload.bool_option("undirected", False)
+        theta = payload.float_option("theta", 0.85)
+        epsilon = payload.float_option("epsilon", 0.0001)
+        iterations = payload.int_option("iterations", 10)
+        indptr, dst, verts = edges.as_directed_graph(undirected)
+        n = len(verts)
+        if n == 0:
+            return [], True, True
+        from ..ops.graph_algos import pagerank
+
+        scores = pagerank(
+            indptr, dst, theta=theta, epsilon=epsilon, iterations=iterations,
+            use_tpu=len(dst) >= TPU_EDGE_THRESHOLD,
+        )
+        _check(poison)
+        rows = [[v, s] for v, s in zip(verts, scores.tolist())]
+        presorted = all(isinstance(v, int) for v in verts[:64]) and (
+            n < 2 or all(verts[i] < verts[i + 1] for i in range(min(n - 1, 64)))
+        )
+        if presorted and n > 64:
+            import numpy as _np
+
+            va = _np.asarray(verts[: n])
+            presorted = bool((va[1:] > va[:-1]).all()) if va.dtype.kind == "i" else False
+        return rows, True, presorted
+
 
 def _build_adj_w(payload, undirected: bool, input_idx: int = 0):
     edges = payload.get_input(input_idx)

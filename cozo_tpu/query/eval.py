@@ -39,13 +39,28 @@ class MemoStore:
     """Set-semantics store with epoch deltas (reference EpochStore,
     `runtime/temp_store.rs:249-336`)."""
 
-    __slots__ = ("total", "delta", "new", "_indexes")
+    __slots__ = ("total", "delta", "new", "_indexes", "presorted")
 
     def __init__(self) -> None:
         self.total: Dict[tuple, list] = {}
         self.delta: Dict[tuple, list] = {}
         self.new: Dict[tuple, list] = {}
         self._indexes: Dict[tuple, dict] = {}
+        # set by fill_bulk: rows already in cmp_key order (skip output sort)
+        self.presorted = False
+
+    def fill_bulk(self, rows: List[list], distinct: bool, presorted: bool) -> None:
+        """Bulk-load a one-shot result (fixed rules emit millions of rows;
+        per-row cmp_key dedup costs ~15µs/row). When the producer
+        guarantees distinctness, keys are positional — joins via
+        index_for/rows() are unaffected, and nothing ever put_new()s into
+        a fixed rule's store after it runs."""
+        if distinct:
+            self.total = dict(enumerate(rows))
+        else:
+            self.total = {self.key_of(r): r for r in rows}
+        self.delta = self.total
+        self.presorted = presorted
 
     def key_of(self, row: Sequence[Any]) -> tuple:
         return tuple(cmp_key(v) for v in row)
@@ -639,7 +654,9 @@ def _rel_args_positional(atom: RelationApplyAtom, handle) -> list:
 
 
 class EvalContext:
-    def __init__(self, tx, fixed_rules, poison=None, search_compiler=None) -> None:
+    def __init__(self, tx, fixed_rules, poison=None, search_compiler=None,
+                 db=None) -> None:
+        self.db = db
         self.tx = tx
         self.stores: Dict[str, MemoStore] = {}
         self.rule_names: Set[str] = set()
@@ -875,6 +892,14 @@ def _run_fixed(name: str, rs: FixedRuleSet, ctx: EvalContext) -> None:
             f"but head has {len(apply.head)}"
         )
     store = ctx.stores[name]
+
+    run_bulk = getattr(impl, "run_bulk", None)
+    if run_bulk is not None:
+        out = run_bulk(payload, ctx.poison)
+        if out is not None:
+            rows, distinct, presorted = out
+            store.fill_bulk(rows, distinct, presorted)
+            return
 
     def out_put(row):
         store.put_new(list(row))

@@ -41,7 +41,16 @@ class PointPlan:
         self.offset = offset
 
 
-def analyze(prog: InputProgram) -> Optional[PointPlan]:
+class CountPlan:
+    __slots__ = ("rel", "pairs", "header")
+
+    def __init__(self, rel: str, pairs, header: str) -> None:
+        self.rel = rel
+        self.pairs = pairs
+        self.header = header
+
+
+def analyze(prog: InputProgram):
     oo = prog.out_opts
     if (
         oo.store_relation is not None
@@ -59,7 +68,7 @@ def analyze(prog: InputProgram) -> Optional[PointPlan]:
     if len(rules) != 1:
         return None
     r = rules[0]
-    if not isinstance(r, InputRule) or any(a is not None for a in r.aggrs):
+    if not isinstance(r, InputRule):
         return None
     if len(r.body) != 1 or not isinstance(r.body[0], RelationApplyAtom):
         return None
@@ -69,7 +78,22 @@ def analyze(prog: InputProgram) -> Optional[PointPlan]:
     for _, e in atom.pairs:
         if not isinstance(e, (Const, ParamRef, Binding)):
             return None
-    return PointPlan(atom.name, list(atom.pairs), list(r.head), oo.limit, oo.offset)
+    aggrs = [a for a in r.aggrs if a is not None]
+    if not aggrs:
+        return PointPlan(
+            atom.name, list(atom.pairs), list(r.head), oo.limit, oo.offset
+        )
+    # `?[count(v)] := *rel{...}`: answerable as a key-range count when the
+    # bound columns cover every key column (then distinct bodies == rows)
+    if (
+        len(r.head) == 1
+        and len(aggrs) == 1
+        and aggrs[0].name == "count"
+        and oo.limit is None
+        and oo.offset is None
+    ):
+        return CountPlan(atom.name, list(atom.pairs), f"count({r.head[0]})")
+    return None
 
 
 def _resolve(e, params: Dict[str, Any]):
@@ -83,12 +107,67 @@ def _resolve(e, params: Dict[str, Any]):
     return deep_freeze(params[e.name])
 
 
-def execute(plan: PointPlan, db, params: Dict[str, Any], cur_vld: int):
+def _execute_count(plan: CountPlan, db, params: Dict[str, Any], tx):
+    """Key-range count for `?[count(v)] := *rel{..}` shapes, or MISS."""
+    from ..runtime.db import NamedRows
+    from ..runtime.relation import encode_key
+
+    handle = db_get_handle(db, tx, plan.rel)
+    if handle is None or handle.has_validity() or handle.is_temp:
+        return MISS
+    if handle.access_level not in ("normal", "protected", "read_only"):
+        return MISS
+    cols = handle.keys + handle.values
+    col_idx = {c.name: i for i, c in enumerate(cols)}
+    nk = len(handle.keys)
+    bound_cols = set()
+    seen_vars = set()
+    exprs: Dict[int, object] = {}
+    for name, e in plan.pairs:
+        i = col_idx.get(name)
+        if i is None:
+            return MISS
+        if isinstance(e, Binding):
+            if name in bound_cols or e.var in seen_vars:
+                return MISS  # repeated var = intra-row equality constraint
+            bound_cols.add(name)
+            seen_vars.add(e.var)
+        else:
+            exprs[i] = e
+    prefix_vals = []
+    for i in range(nk):
+        e = exprs.get(i)
+        if e is None:
+            break
+        val = _resolve(e, params)
+        typing = cols[i].typing
+        if typing is not None:
+            try:
+                val = coerce_value(val, typing)
+            except CozoError:
+                return NamedRows([plan.header], [[0]])
+        prefix_vals.append(val)
+    # const filters beyond the prefix, or key columns not individually
+    # bound (distinct bodies could collapse): general path
+    if any(i >= len(prefix_vals) for i in exprs):
+        return MISS
+    for i in range(len(prefix_vals), nk):
+        if cols[i].name not in bound_cols:
+            return MISS
+    lower = encode_key(handle.id, prefix_vals)
+    upper = lower + b"\xff" * 8
+    n = tx.range_count(lower, upper)
+    return NamedRows([plan.header], [[n]])
+
+
+def execute(plan, db, params: Dict[str, Any], cur_vld: int):
     """Returns a NamedRows or MISS (caller falls back to the general path)."""
     from ..runtime.db import NamedRows
 
     tx = db.storage.transact(write=False)
     try:
+        if isinstance(plan, CountPlan):
+            return _execute_count(plan, db, params, tx)
         try:
             handle = db_get_handle(db, tx, plan.rel)
         except CozoError:

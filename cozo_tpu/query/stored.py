@@ -174,6 +174,12 @@ def execute_mutation(
         # mutations never modify relation meta, so no for_update needed
         handle = tx.get_relation(name)
 
+    # staged-graph caches key on this counter (fixed_payload CSR cache)
+    if db is not None and not name.startswith("_"):
+        db._rel_versions[name] = db._rel_versions.get(name, 0) + 1
+        for k in [k for k in getattr(db, "_csr_cache", {}) if k[0] == name]:
+            db._csr_cache.pop(k, None)
+
     key_inputs, val_inputs = _input_cols(store_rel.schema, headers)
 
     returning: List[list] = []

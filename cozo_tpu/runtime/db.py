@@ -127,6 +127,10 @@ class Db:
         self._plan_cache_max = 256
         # script-text → PointPlan for single-atom retrievals (query/fastpath)
         self._fast_plans: Dict[str, Any] = {}
+        # relation name → mutation counter (invalidates staged-graph caches)
+        self._rel_versions: Dict[str, int] = {}
+        # (name, version, undirected) → staged CSR for whole-graph rules
+        self._csr_cache: Dict[tuple, tuple] = {}
 
     # ------------------------------------------------------------------ public
 
@@ -138,6 +142,12 @@ class Db:
     ) -> NamedRows:
         cur_vld = current_validity_ts()
         fast = self._fast_plans.get(payload)
+        if fast is None and payload not in self._plan_cache:
+            # first sighting: template-parse (also installs the fast plan)
+            prog0 = self._parse_cached(payload, params or {})
+            fast = self._fast_plans.get(payload)
+            if fast is None and prog0 is not None:
+                return self._execute_single(prog0, cur_vld, immutable)
         if fast is not None:
             from ..query import fastpath
 
@@ -321,6 +331,7 @@ class Db:
             tx.abort()
             # index caches may have been mutated inside the aborted tx
             self.algo_cache.clear()
+            self._csr_cache.clear()
             raise
         finally:
             self._unregister_running(qid)
@@ -377,6 +388,7 @@ class Db:
                 self.fixed_rules,
                 poison=poison,
                 search_compiler=self._compile_search,
+                db=self,
             )
             limit_hint = None
             if (
@@ -387,8 +399,11 @@ class Db:
                 limit_hint = opts.limit + (opts.offset or 0)
             evaluate_strata(strata, ctx, limit_hint)
             store = ctx.stores["?"]
-            rows = [list(r) for r in store.total.values()]
-            rows.sort(key=lambda r: tuple(cmp_key(v) for v in r))
+            if store.presorted:
+                rows = list(store.total.values())
+            else:
+                rows = [list(r) for r in store.total.values()]
+                rows.sort(key=lambda r: tuple(cmp_key(v) for v in r))
             headers = self._entry_headers(prog)
 
         return self._query_epilogue(
@@ -579,6 +594,8 @@ class Db:
         tx = self._new_session(True, cur_vld)
         try:
             for name, content in data.items():
+                self._rel_versions[name] = self._rel_versions.get(name, 0) + 1
+                self._csr_cache.clear()
                 handle = tx.get_relation(name, for_update=True)
                 if ACCESS_LEVELS[handle.access_level] < ACCESS_LEVELS["protected"]:
                     raise StoredRelationError(
@@ -720,3 +737,4 @@ class MultiTransaction:
     def abort(self) -> None:
         self.tx.abort()
         self.db.algo_cache.clear()
+        self.db._csr_cache.clear()

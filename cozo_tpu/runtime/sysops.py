@@ -18,6 +18,9 @@ def run_sys_op(db, op: A.SysOp, immutable: bool = False):
     kind = op.kind
     p = op.payload
     cur_vld = current_validity_ts()
+    if kind in ("remove_relations", "rename_relations", "restore"):
+        db._csr_cache.clear()
+        db._rel_versions.clear()
 
     if kind == "compact":
         db.storage.range_compact(b"", b"\xff" * 9)

@@ -61,6 +61,11 @@ class StoreTx:
     def seek_first(self, lower: bytes, upper: bytes):
         for kv in self.range_scan(lower, upper):
             return kv
+
+    def collect_keys(self, lower: bytes, upper: bytes) -> list:
+        """All keys in [lower, upper) as a list — bulk staging hook
+        (engines override with O(k) slicing / native export)."""
+        return [k for k, _ in self.range_scan(lower, upper)]
         return None
 
     def total_scan(self) -> Iterator[Tuple[bytes, bytes]]:

@@ -114,6 +114,28 @@ class MemTx(StoreTx):
             if ov is not None:
                 yield ok, ov
 
+    def range_count(self, lower: bytes, upper: bytes) -> int:
+        if not self.overlay:
+            with self.store.lock:
+                d = self.store.data
+                return d.bisect_left(upper) - d.bisect_left(lower)
+        n = 0
+        for _ in self.range_scan(lower, upper):
+            n += 1
+        return n
+
+    def collect_keys(self, lower: bytes, upper: bytes) -> list:
+        if self.overlay:
+            return [k for k, _ in self.range_scan(lower, upper)]
+        with self.store.lock:
+            d = self.store.data
+            i = d.bisect_left(lower)
+            j = d.bisect_left(upper)
+            # SortedDict keys view slicing is O(log n + k) and returns a
+            # list built from the internal sublists — ~10x faster than
+            # iterating 10^7 keys through a generator
+            return list(d.keys()[i:j])
+
     def seek_first(self, lower: bytes, upper: bytes):
         """First live pair >= lower (< upper), O(log n): no chunking."""
         data = self.store.data

@@ -101,3 +101,24 @@ def test_repeated_binding_not_fast(db):
     db2.run_script(":create eq {x: Int => y: Int}")
     db2.run_script("?[x, y] <- [[1, 1], [2, 3]] :put eq {x => y}")
     assert db2.run_script("?[x] := *eq{x, y: x}").rows == [[1]]
+
+
+def test_count_fast_path(db):
+    both(db, "?[count(v)] := *kv{a, b, v}", "?[count(v)] := *kv{a, b, v}, true")
+    both(db, "?[count(b)] := *kv{a: 2, b, v, w}", "?[count(b)] := *kv{a: 2, b, v, w}, true")
+    # distinct-collapsing shape must NOT be fast-pathed: only b bound
+    both(db, "?[count(w)] := *kv{a, b, w}", "?[count(w)] := *kv{a, b, w}, true")
+    r = db.run_script("?[count(w)] := *kv{a: 1, w}")  # w dedups: general path
+    s = db.run_script("?[count(w)] := *kv{a: 1, w}, true")
+    assert r.rows == s.rows
+    # repeated-binding equality must not be counted as all rows
+    db2 = Db("mem")
+    db2.run_script(":create ee {f: Int, t: Int}")
+    db2.run_script("?[f, t] <- [[1,1],[1,2],[2,2]] :put ee {f, t}")
+    assert db2.run_script("?[count(x)] := *ee{f: x, t: x}").rows == [[2]]
+
+
+def test_count_headers_match(db):
+    f = db.run_script("?[count(v)] := *kv{a, b, v}")
+    s = db.run_script("?[count(v)] := *kv{a, b, v}, true")
+    assert f.headers == s.headers
