@@ -20,14 +20,27 @@ from __future__ import annotations
 
 from typing import Any, Dict, List, Optional
 
-from ..data.expr import Binding, Const, ParamRef
-from ..data.memcmp import encode_tuple
-from ..data.program import InputProgram, InputRule, RelationApplyAtom
+from ..data.expr import Apply, Binding, Const, ParamRef
+from ..data.memcmp import decode_tuple, encode_tuple
+from ..data.program import ConstRule, InputProgram, InputRule, RelationApplyAtom
 from ..data.relation_types import coerce_value
-from ..data.value import deep_freeze, value_eq
-from ..utils.errors import CozoError, QueryError
+from ..data.value import cmp_key, deep_freeze, value_eq
+from ..utils.errors import CozoError, QueryError, TransactError
 
 MISS = object()
+
+_NAMED_ROWS = None
+
+
+def _named_rows():
+    # lazy NamedRows class handle: runtime.db imports this module lazily,
+    # so a top-level import here would be circular on first touch
+    global _NAMED_ROWS
+    if _NAMED_ROWS is None:
+        from ..runtime.db import NamedRows
+
+        _NAMED_ROWS = NamedRows
+    return _NAMED_ROWS
 
 
 class PointPlan:
@@ -50,11 +63,91 @@ class CountPlan:
         self.header = header
 
 
+class MutatePlan:
+    """Straight-line executor for the OLTP write shape: a single constant
+    `?` rule mutating a plain stored relation (no indexes, triggers,
+    callbacks or validity — any of those falls back to the general
+    mutation executor in query/stored.py, whose semantics this mirrors
+    row for row; reference hot path `runtime/db.rs:1590-1669`)."""
+
+    __slots__ = ("op", "rel", "schema", "head", "rows_tmpl", "rows_param",
+                 "_compiled")
+
+    def __init__(self, op, rel, schema, head, rows_tmpl, rows_param) -> None:
+        self.op = op
+        self.rel = rel
+        self.schema = schema
+        self.head = head
+        self.rows_tmpl = rows_tmpl  # [[Const|ParamRef, ...], ...] or None
+        self.rows_param = rows_param  # param name holding rows, or None
+        self._compiled = None  # (handle, key_ex, val_ex) cache
+
+
+def _leaf_row(rowe, arity):
+    """Row of leaf exprs from one element of a const-rule list, or None."""
+    if isinstance(rowe, Const):
+        v = rowe.val
+        if not isinstance(v, (list, tuple)) or len(v) != arity:
+            return None
+        return [Const(x) for x in v]
+    if (
+        isinstance(rowe, Apply)
+        and getattr(rowe.op, "name", None) == "list"
+        and len(rowe.args) == arity
+        and all(isinstance(a, (Const, ParamRef)) for a in rowe.args)
+    ):
+        return list(rowe.args)
+    return None
+
+
+def _analyze_mutation(prog: InputProgram):
+    oo = prog.out_opts
+    sr = oo.store_relation
+    if sr.op not in ("put", "insert", "rm", "delete", "update"):
+        return None
+    if sr.name.startswith("_"):
+        return None
+    if (
+        oo.sorters
+        or oo.limit is not None
+        or oo.offset is not None
+        or oo.timeout is not None
+        or oo.sleep is not None
+        or oo.assert_none
+        or oo.assert_some
+        or oo.returning
+    ):
+        return None
+    if set(prog.rules.keys()) != {"?"}:
+        return None
+    rules = prog.rules["?"]
+    if len(rules) != 1 or not isinstance(rules[0], ConstRule):
+        return None
+    r = rules[0]
+    if not r.head:
+        return None
+    d = r.data
+    rows_tmpl = rows_param = None
+    if isinstance(d, ParamRef):
+        rows_param = d.name
+    elif isinstance(d, Const) and isinstance(d.val, (list, tuple)):
+        rows_tmpl = [_leaf_row(Const(row), len(r.head)) for row in d.val]
+    elif isinstance(d, Apply) and getattr(d.op, "name", None) == "list":
+        rows_tmpl = [_leaf_row(rowe, len(r.head)) for rowe in d.args]
+    else:
+        return None
+    if rows_tmpl is not None and any(row is None for row in rows_tmpl):
+        return None
+    return MutatePlan(sr.op, sr.name, sr.schema, list(r.head), rows_tmpl,
+                      rows_param)
+
+
 def analyze(prog: InputProgram):
     oo = prog.out_opts
+    if oo.store_relation is not None:
+        return _analyze_mutation(prog)
     if (
-        oo.store_relation is not None
-        or oo.sorters
+        oo.sorters
         or oo.timeout is not None
         or oo.sleep is not None
         or oo.assert_none
@@ -109,7 +202,7 @@ def _resolve(e, params: Dict[str, Any]):
 
 def _execute_count(plan: CountPlan, db, params: Dict[str, Any], tx):
     """Key-range count for `?[count(v)] := *rel{..}` shapes, or MISS."""
-    from ..runtime.db import NamedRows
+    NamedRows = _named_rows()
     from ..runtime.relation import encode_key
 
     handle = db_get_handle(db, tx, plan.rel)
@@ -160,10 +253,160 @@ def _execute_count(plan: CountPlan, db, params: Dict[str, Any], tx):
     return NamedRows([plan.header], [[n]])
 
 
-def execute(plan, db, params: Dict[str, Any], cur_vld: int):
-    """Returns a NamedRows or MISS (caller falls back to the general path)."""
-    from ..runtime.db import NamedRows
+def _compile_extractors(plan: MutatePlan, handle):
+    """(key_ex, val_ex) for this handle, mirroring query/stored.py's
+    extractor construction; cached on the plan keyed by handle identity
+    (the shared handle cache replaces the object whenever catalog bytes
+    change, so identity doubles as a schema-version check)."""
+    from .stored import _input_cols, _make_extractor
 
+    comp = plan._compiled
+    if comp is not None and comp[0] is handle:
+        return comp[1], comp[2]
+    key_inputs, val_inputs = _input_cols(plan.schema, plan.head)
+    input_cols = key_inputs + val_inputs if val_inputs else key_inputs
+    k_src = input_cols if not val_inputs else key_inputs
+    v_src = input_cols if not val_inputs else val_inputs
+    if plan.op in ("rm", "delete"):
+        key_ex = [_make_extractor(c, key_inputs, plan.head) for c in handle.keys]
+        val_ex = None
+    elif plan.op == "update":
+        all_inputs = key_inputs + val_inputs
+        input_names = {c for c, _ in all_inputs}
+        key_ex = [_make_extractor(c, all_inputs, plan.head) for c in handle.keys]
+        val_ex = [
+            (True, _make_extractor(c, all_inputs, plan.head))
+            if c.name in input_names
+            else (False, None)
+            for c in handle.values
+        ]
+    else:
+        key_ex = [_make_extractor(c, k_src, plan.head) for c in handle.keys]
+        val_ex = [_make_extractor(c, v_src, plan.head) for c in handle.values]
+    plan._compiled = (handle, key_ex, val_ex)
+    return key_ex, val_ex
+
+
+def _execute_mutate(plan: MutatePlan, db, params: Dict[str, Any], cur_vld: int,
+                    immutable: bool):
+    NamedRows = _named_rows()
+    if immutable:
+        raise QueryError("attempting to write in read-only mode")
+    # resolve rows before taking any lock/tx
+    arity = len(plan.head)
+    if plan.rows_param is not None:
+        data = params.get(plan.rows_param, MISS)
+        if data is MISS:
+            raise QueryError(
+                f"Required parameter {plan.rows_param} not found",
+                code="parser::param_not_found",
+            )
+        if not isinstance(data, (list, tuple)):
+            return MISS  # canonical arity/type error from the general path
+        rows = []
+        for row in data:
+            if not isinstance(row, (list, tuple)) or len(row) != arity:
+                return MISS
+            rows.append([deep_freeze(v) for v in row])
+    else:
+        rows = [[_resolve(e, params) for e in rt] for rt in plan.rows_tmpl]
+    if len(rows) > 1:  # set semantics + memo output order (_try_const_entry)
+        dedup = {}
+        for row in rows:
+            dedup[tuple(cmp_key(v) for v in row)] = row
+        rows = [row for _, row in sorted(dedup.items())]
+
+    with db._lock_for(plan.rel):
+        tx = db.storage.transact(write=True)
+        committed = False
+        try:
+            handle = db_get_handle(db, tx, plan.rel)
+            if handle is None or handle.has_validity():
+                return MISS
+            if handle.indices:
+                return MISS
+            if plan.op in ("rm", "delete"):
+                if handle.rm_triggers:
+                    return MISS
+            elif handle.put_triggers:
+                return MISS
+            if plan.rel in db._callback_targets():
+                return MISS
+            handle.ensure_can_write()
+            try:
+                key_ex, val_ex = _compile_extractors(plan, handle)
+            except QueryError:
+                return MISS  # canonical extractor error from the general path
+            nk = len(handle.keys)
+
+            if plan.op in ("put", "insert"):
+                is_insert = plan.op == "insert"
+                for row in rows:
+                    extracted = [ex.extract(row) for ex in key_ex] + [
+                        ex.extract(row) for ex in val_ex
+                    ]
+                    key = handle.encode_row_key(extracted)
+                    if is_insert and tx.exists(key, for_update=True):
+                        raise TransactError(
+                            f"assertion failure for insert into "
+                            f"'{handle.name}': key exists "
+                            f"{extracted[:nk]!r}",
+                            code="eval::assert_insert_failure",
+                        )
+                    tx.put(key, handle.encode_row_val(extracted))
+            elif plan.op == "update":
+                for row in rows:
+                    key_vals = [ex.extract(row) for ex in key_ex]
+                    key = handle.encode_row_key(key_vals)
+                    existing = tx.get(key, for_update=True)
+                    if existing is None:
+                        raise TransactError(
+                            f"assertion failure for update of "
+                            f"'{handle.name}': key does not exist "
+                            f"{key_vals!r}",
+                            code="eval::assert_update_failure",
+                        )
+                    old_vals = decode_tuple(existing) if existing else []
+                    new_row = list(key_vals)
+                    for (has, ex), old_v in zip(
+                        val_ex, old_vals + [None] * len(val_ex)
+                    ):
+                        new_row.append(ex.extract(row) if has else old_v)
+                    tx.put(key, handle.encode_row_val(new_row))
+            else:  # rm / delete
+                strict = plan.op == "delete"
+                for row in rows:
+                    key_vals = [ex.extract(row) for ex in key_ex]
+                    key = handle.encode_row_key(key_vals)
+                    existing = tx.get(key, for_update=True)
+                    if existing is None:
+                        if strict:
+                            raise TransactError(
+                                f"assertion failure for delete from "
+                                f"'{handle.name}': key does not exist "
+                                f"{key_vals!r}",
+                                code="eval::assert_delete_failure",
+                            )
+                    else:
+                        tx.delete(key)
+
+            db._rel_versions[plan.rel] = db._rel_versions.get(plan.rel, 0) + 1
+            for k in [k for k in db._csr_cache if k[0] == plan.rel]:
+                db._csr_cache.pop(k, None)
+            tx.commit()
+            committed = True
+            return NamedRows.ok()
+        finally:
+            if not committed:
+                tx.abort()
+
+
+def execute(plan, db, params: Dict[str, Any], cur_vld: int,
+            immutable: bool = False):
+    """Returns a NamedRows or MISS (caller falls back to the general path)."""
+    NamedRows = _named_rows()
+    if isinstance(plan, MutatePlan):
+        return _execute_mutate(plan, db, params, cur_vld, immutable)
     tx = db.storage.transact(write=False)
     try:
         if isinstance(plan, CountPlan):

@@ -115,6 +115,7 @@ class Db:
         self._cb_lock = threading.Lock()
         self._cb_next_id = 0
         self._callbacks: Dict[int, Tuple[str, Callable]] = {}
+        self._cb_targets: Set[str] = set()
         self._running_lock = threading.Lock()
         self._running_next_id = 0
         self._running: Dict[int, dict] = {}
@@ -151,7 +152,7 @@ class Db:
         if fast is not None:
             from ..query import fastpath
 
-            res = fastpath.execute(fast, self, params or {}, cur_vld)
+            res = fastpath.execute(fast, self, params or {}, cur_vld, immutable)
             if res is not fastpath.MISS:
                 return res
         prog = self._parse_cached(payload, params or {})
@@ -225,15 +226,17 @@ class Db:
         with self._cb_lock:
             self._cb_next_id += 1
             self._callbacks[self._cb_next_id] = (relation, callback)
+            self._cb_targets = {rel for rel, _ in self._callbacks.values()}
             return self._cb_next_id
 
     def unregister_callback(self, cb_id: int) -> bool:
         with self._cb_lock:
-            return self._callbacks.pop(cb_id, None) is not None
+            removed = self._callbacks.pop(cb_id, None) is not None
+            self._cb_targets = {rel for rel, _ in self._callbacks.values()}
+            return removed
 
     def _callback_targets(self) -> Set[str]:
-        with self._cb_lock:
-            return {rel for rel, _ in self._callbacks.values()}
+        return self._cb_targets
 
     def _send_callbacks(self, collector: Dict[str, list]) -> None:
         if not collector:

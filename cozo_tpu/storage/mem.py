@@ -26,7 +26,8 @@ class MemTx(StoreTx):
     def __init__(self, store: "MemStorage", write: bool) -> None:
         self.store = store
         self.writable = write
-        self.overlay = SortedDict() if write else None
+        # plain dict: writes are O(1); scans sort the (tiny) overlay lazily
+        self.overlay = {} if write else None
         self._done = False
 
     # -- reads --------------------------------------------------------------
@@ -74,7 +75,7 @@ class MemTx(StoreTx):
             return
         over = [
             (k, self.overlay[k])
-            for k in self.overlay.irange(lower, upper, inclusive=(True, False))
+            for k in sorted(k for k in self.overlay if lower <= k < upper)
         ]
         yield from self._merge(base, over)
 
@@ -85,8 +86,8 @@ class MemTx(StoreTx):
             return
         over = [
             (k, self.overlay[k])
-            for k in self.overlay.irange(
-                lower, upper, inclusive=(True, False), reverse=True
+            for k in sorted(
+                (k for k in self.overlay if lower <= k < upper), reverse=True
             )
         ]
         yield from self._merge(base, over, reverse=True)
@@ -146,8 +147,8 @@ class MemTx(StoreTx):
                 bv = data[bk] if bk is not None else None
             ok = None
             if self.overlay:
-                ok = next(
-                    self.overlay.irange(lo, upper, inclusive=(True, False)), None
+                ok = min(
+                    (k for k in self.overlay if lo <= k < upper), default=None
                 )
             if ok is not None and (bk is None or ok <= bk):
                 ov = self.overlay[ok]
@@ -187,7 +188,7 @@ class MemTx(StoreTx):
 
     def abort(self) -> None:
         self._done = True
-        self.overlay = SortedDict() if self.writable else None
+        self.overlay = {} if self.writable else None
 
 
 class MemStorage(Storage):
