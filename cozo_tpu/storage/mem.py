@@ -180,11 +180,22 @@ class MemTx(StoreTx):
         if self.overlay:
             with self.store.lock:
                 data = self.store.data
-                for k, v in self.overlay.items():
-                    if v is None:
-                        data.pop(k, None)
-                    else:
-                        data[k] = v
+                if len(self.overlay) > max(4096, len(data)):
+                    # huge commit (index backfill, bulk load): one sorted
+                    # rebuild beats per-key O(log n) inserts by ~4x
+                    merged = dict(data)
+                    for k, v in self.overlay.items():
+                        if v is None:
+                            merged.pop(k, None)
+                        else:
+                            merged[k] = v
+                    self.store.data = SortedDict(merged)
+                else:
+                    for k, v in self.overlay.items():
+                        if v is None:
+                            data.pop(k, None)
+                        else:
+                            data[k] = v
 
     def abort(self) -> None:
         self._done = True

@@ -108,6 +108,10 @@ def _lib():
     lib.tkv_compact.argtypes = [ctypes.c_void_p]
     lib.tkv_set_sync.restype = None
     lib.tkv_set_sync.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.tkv_set_flush_bytes.restype = None
+    lib.tkv_set_flush_bytes.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
+    lib.tkv_flush.restype = ctypes.c_int
+    lib.tkv_flush.argtypes = [ctypes.c_void_p]
     _LIB = lib
     return lib
 
@@ -274,6 +278,16 @@ class TkvStorage(Storage):
         if not self.handle:
             raise StorageError(f"cannot open tkv database at {path!r}")
         _lib().tkv_set_sync(self.handle, int(sync_mode))
+
+    def set_flush_bytes(self, n: int) -> None:
+        """Memtable budget before an automatic flush to an SST level."""
+        _lib().tkv_set_flush_bytes(self.handle, int(n))
+
+    def flush(self) -> None:
+        """Force the memtable out to an SST (truncates the WAL)."""
+        rc = _lib().tkv_flush(self.handle)
+        if rc != 0:
+            raise StorageError("tkv flush failed")
 
     def transact(self, write: bool = False) -> TkvTx:
         return TkvTx(self, write)
