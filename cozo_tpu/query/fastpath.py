@@ -63,6 +63,28 @@ class CountPlan:
         self.header = header
 
 
+class AggrPlan:
+    """Columnar whole-scan aggregation: `?[sum(v), max(v), ...] := *rel{..}`
+    over fixed-width (Int/Float/Bool) columns.  Raw key/value bytes are
+    collected from the KV scan and decoded column-wise with numpy (memcmp
+    encodings of non-nullable Int/Float/Bool are fixed-stride), so a 1.6M-
+    row sum costs one array pass instead of 1.6M tuple decodes — the OLAP
+    full-scan shape (reference README.md:147, ~1s per 1.6M-row scan)."""
+
+    __slots__ = ("rel", "pairs", "aggrs", "headers")
+
+    def __init__(self, rel, pairs, aggrs, headers) -> None:
+        self.rel = rel
+        self.pairs = pairs  # [(col_name, expr)] from the atom
+        self.aggrs = aggrs  # [(aggr_name, var)]
+        self.headers = headers
+
+
+_AGGR_FAST = {"count", "sum", "mean", "min", "max", "variance", "std_dev",
+              "product"}
+_FIXED_WIDTH = {"Int": 18, "Float": 10, "Bool": 1}
+
+
 class MutatePlan:
     """Straight-line executor for the OLTP write shape: a single constant
     `?` rule mutating a plain stored relation (no indexes, triggers,
@@ -186,6 +208,18 @@ def analyze(prog: InputProgram):
         and oo.offset is None
     ):
         return CountPlan(atom.name, list(atom.pairs), f"count({r.head[0]})")
+    if (
+        len(aggrs) == len(r.head)  # fully aggregated (no group-by keys)
+        and all(a.name in _AGGR_FAST and not a.extra_args for a in aggrs)
+        and oo.limit is None
+        and oo.offset is None
+    ):
+        return AggrPlan(
+            atom.name,
+            list(atom.pairs),
+            [(a.name, v) for a, v in zip(aggrs, r.head)],
+            [f"{a.name}({v})" for a, v in zip(aggrs, r.head)],
+        )
     return None
 
 
@@ -401,6 +435,185 @@ def _execute_mutate(plan: MutatePlan, db, params: Dict[str, Any], cur_vld: int,
                 tx.abort()
 
 
+def _execute_aggr(plan: AggrPlan, db, params: Dict[str, Any], tx):
+    """Columnar aggregation over one stored-relation scan, or MISS."""
+    import numpy as np
+
+    NamedRows = _named_rows()
+    from ..data.aggr import AGGR_REGISTRY
+    from ..runtime.relation import encode_key
+
+    handle = db_get_handle(db, tx, plan.rel)
+    if handle is None or handle.has_validity() or handle.is_temp:
+        return MISS
+    if handle.access_level not in ("normal", "protected", "read_only"):
+        return MISS
+    nk = len(handle.keys)
+    cols = handle.keys + handle.values
+    col_idx = {c.name: i for i, c in enumerate(cols)}
+    bound: Dict[str, int] = {}  # var → column index
+    exprs: Dict[int, object] = {}
+    bound_cols = set()
+    for name, e in plan.pairs:
+        i = col_idx.get(name)
+        if i is None:
+            return MISS
+        if isinstance(e, Binding):
+            if name in bound_cols or e.var in bound:
+                return MISS
+            bound_cols.add(name)
+            bound[e.var] = i
+        else:
+            exprs[i] = e
+    # aggregated vars must be bound columns (unbound vars are unsafe —
+    # the general path raises the canonical error)
+    need_cols = []
+    for aname, var in plan.aggrs:
+        if var not in bound:
+            return MISS
+        need_cols.append(bound[var])
+    # constant/param key prefix (consts beyond it: general path)
+    prefix_vals = []
+    for i in range(nk):
+        e = exprs.get(i)
+        if e is None:
+            break
+        val = _resolve(e, params)
+        typing = cols[i].typing
+        if typing is not None:
+            try:
+                val = coerce_value(val, typing)
+            except CozoError:
+                prefix_vals = None  # unmatchable: aggregate over zero rows
+                break
+        prefix_vals.append(val)
+    if prefix_vals is not None and any(
+        i >= len(prefix_vals) for i in exprs
+    ):
+        return MISS
+    # (no distinct-ness guard needed: aggregation inputs are the bag of
+    # body matches — one per physical row — in both this path and the
+    # general evaluator, matching the reference's semantics)
+
+    def fixed_width(c):
+        t = c.typing
+        if t is None or t.nullable:
+            return None
+        return _FIXED_WIDTH.get(t.kind)
+
+    # column layout: a side (key / value) only needs fixed widths when we
+    # decode a column from it
+    need_key = any(i is not None and i < nk for i in need_cols)
+    need_val = any(i is not None and i >= nk for i in need_cols)
+    key_w = [fixed_width(c) for c in handle.keys]
+    val_w = [fixed_width(c) for c in handle.values]
+    if need_key and any(w is None for w in key_w):
+        return MISS
+    if need_val and any(w is None for w in val_w):
+        return MISS
+    key_off = [8 + sum(key_w[:i]) for i in range(nk)] if need_key else None
+    kstride = 8 + sum(key_w) if need_key else None
+    val_off = [sum(val_w[:j]) for j in range(len(val_w))] if need_val else None
+    vstride = sum(val_w) if need_val else None
+
+    # numeric column requirement for everything but count
+    for (aname, var), ci in zip(plan.aggrs, need_cols):
+        if aname == "count":
+            continue
+        kind = cols[ci].typing.kind
+        if kind not in ("Int", "Float"):
+            return MISS
+
+    # ---- scan: collect raw bytes
+    n = 0
+    kchunks = [] if need_key else None
+    vchunks = [] if need_val else None
+    if prefix_vals is None:
+        pass  # unmatchable prefix: zero rows
+    else:
+        lower = encode_key(handle.id, prefix_vals)
+        upper = lower + b"\xff" * 8
+        for k, v in tx.range_scan(lower, upper):
+            n += 1
+            if need_key:
+                kchunks.append(k)
+            if need_val:
+                vchunks.append(v)
+    if n == 0:
+        out = []
+        for aname, var in plan.aggrs:
+            out.append(AGGR_REGISTRY[aname].make([]).get())
+        return NamedRows(list(plan.headers), [out])
+    kbuf = vbuf = None
+    if need_key:
+        kb = b"".join(kchunks)
+        if len(kb) != n * kstride:
+            return MISS  # row with unexpected layout: general path
+        kbuf = np.frombuffer(kb, dtype=np.uint8).reshape(n, kstride)
+    if need_val:
+        vb = b"".join(vchunks)
+        if len(vb) != n * vstride:
+            return MISS
+        vbuf = np.frombuffer(vb, dtype=np.uint8).reshape(n, vstride)
+
+    def col_f64(ci):
+        """Decode column ci to (float64 array, original-dtype array)."""
+        if ci < nk:
+            buf, off, kind = kbuf, key_off[ci], handle.keys[ci].typing.kind
+        else:
+            j = ci - nk
+            buf, off, kind = vbuf, val_off[j], handle.values[j].typing.kind
+        if kind == "Int":
+            raw = buf[:, off + 10 : off + 18].copy().view(">u8")[:, 0]
+            iv = (raw.astype(np.uint64) ^ np.uint64(1 << 63)).view(np.int64)
+            return iv.astype(np.float64), iv
+        # Float: 8 order-bit bytes after the tag
+        raw = buf[:, off + 1 : off + 9].copy().view(">u8")[:, 0].astype(np.uint64)
+        neg = (raw >> np.uint64(63)) == 0
+        bits = np.where(
+            neg, ~raw, raw & np.uint64(0x7FFF_FFFF_FFFF_FFFF)
+        ).astype(np.uint64)
+        fv = bits.view(np.float64)
+        return fv, fv
+
+    decoded: Dict[int, tuple] = {}
+    out = []
+    for (aname, var), ci in zip(plan.aggrs, need_cols):
+        if aname == "count":
+            out.append(n)
+            continue
+        if ci not in decoded:
+            decoded[ci] = col_f64(ci)
+        f64, orig = decoded[ci]
+        if np.isnan(f64).any():
+            return MISS  # NaN ordering differs per-acc; keep canonical path
+        if aname == "sum":
+            out.append(float(np.sum(f64)))
+        elif aname == "mean":
+            out.append(float(np.sum(f64)) / float(n))
+        elif aname == "product":
+            out.append(float(np.prod(f64)))
+        elif aname in ("min", "max"):
+            idx = int(np.argmin(f64) if aname == "min" else np.argmax(f64))
+            v = orig[idx]
+            out.append(int(v) if orig.dtype == np.int64 else float(v))
+        else:  # variance / std_dev
+            if n <= 1:
+                out.append(float("nan"))
+            else:
+                s = float(np.sum(f64))
+                sq = float(np.sum(f64 * f64))
+                var = (sq - s * s / n) / (n - 1.0)
+                if aname == "variance":
+                    out.append(var)
+                else:
+                    out.append(
+                        float(np.sqrt(var)) if var == var and var >= 0
+                        else float("nan")
+                    )
+    return NamedRows(list(plan.headers), [out])
+
+
 def execute(plan, db, params: Dict[str, Any], cur_vld: int,
             immutable: bool = False):
     """Returns a NamedRows or MISS (caller falls back to the general path)."""
@@ -411,6 +624,8 @@ def execute(plan, db, params: Dict[str, Any], cur_vld: int,
     try:
         if isinstance(plan, CountPlan):
             return _execute_count(plan, db, params, tx)
+        if isinstance(plan, AggrPlan):
+            return _execute_aggr(plan, db, params, tx)
         try:
             handle = db_get_handle(db, tx, plan.rel)
         except CozoError:
