@@ -74,6 +74,9 @@ class HnswIndex:
         self.dev_pending: set = set()
         # slots whose vector/alive state changed (sweep table maintenance)
         self.sweep_pending: set = set()
+        # mesh-sharded serving table (COZO_TPU_MESH), rebuilt on version
+        self._mesh_sweep = None
+        self._mesh_sweep_version = -1
 
     # ------------------------------------------------------------------ sizing
 
@@ -396,6 +399,26 @@ class HnswIndex:
             )
         if use_tpu is None:
             use_tpu = self.n >= 20_000 and B >= 4
+        # opt-in mesh serving (COZO_TPU_MESH): row-sharded exact sweep
+        # with an all-gather top-k merge across the device mesh
+        try:
+            from ..parallel.mesh import serving_mesh
+
+            mesh = serving_mesh()
+        except Exception:  # pragma: no cover — mesh init failure
+            mesh = None
+        if mesh is not None:
+            try:
+                ss = self._mesh_sweep
+                if ss is None or self._mesh_sweep_version != self.version:
+                    from ..parallel.mesh import ShardedSweep
+
+                    ss = ShardedSweep(mesh, self)
+                    self._mesh_sweep = ss
+                    self._mesh_sweep_version = self.version
+                return ss.search(qs, k)
+            except Exception:  # pragma: no cover — device fallback
+                pass
         if use_tpu:
             # Large query batches (or single-chunk tables): the chunked MXU
             # sweep is faster AND more accurate than graph traversal on TPU

@@ -101,6 +101,36 @@ def sharded_knn(mesh, vectors: "jax.Array", queries, k: int, distance: str = "L2
     return jax.jit(fn)(vectors, queries)
 
 
+_SERVING_MESH = None
+_SERVING_MESH_CHECKED = False
+
+
+def serving_mesh():
+    """Process-wide serving mesh, or None.
+
+    Opt-in via COZO_TPU_MESH: "1"/"all" shards over every visible jax
+    device; an integer uses that many.  When active, HnswIndex.search
+    serves `~rel:idx` queries through ShardedSweep (row-sharded table,
+    all-gather top-k merge) instead of the single-device path —
+    SURVEY §5.7/5.8's >HBM scale-out."""
+    global _SERVING_MESH, _SERVING_MESH_CHECKED
+    if _SERVING_MESH_CHECKED:
+        return _SERVING_MESH
+    _SERVING_MESH_CHECKED = True
+    import os
+
+    spec = os.environ.get("COZO_TPU_MESH", "")
+    if not spec:
+        return None
+    jax, _ = _jx()
+    n_avail = len(jax.devices())
+    n = n_avail if spec in ("1", "all") else min(int(spec), n_avail)
+    if n < 2:
+        return None
+    _SERVING_MESH = make_mesh(n)
+    return _SERVING_MESH
+
+
 class ShardedSweep:
     """The serving-path vector index sharded over a device mesh.
 
