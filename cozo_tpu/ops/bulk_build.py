@@ -125,8 +125,9 @@ def _build_step_fn(n_chunks: int, chunk: int, d_pad: int, W: int, P: int,
         else:
             qs = new_rows
 
-        def body(carry, xs):
-            best_s, best_i, ci = carry
+        # per-chunk approx top-(P+1); one exact merge at the end (the
+        # in-scan exact merges were ~35% of wave time, see BENCH_NOTES)
+        def body(_, xs):
             chunk_v, chunk_b = xs
             s = jax.lax.dot_general(
                 qs.astype(jnp.bfloat16), chunk_v.astype(jnp.bfloat16),
@@ -134,18 +135,17 @@ def _build_step_fn(n_chunks: int, chunk: int, d_pad: int, W: int, P: int,
                 preferred_element_type=jnp.float32,
             ) + chunk_b[None, :]
             nd, ni = jax.lax.approx_max_k(s, P + 1, recall_target=rt)
-            ni = ni + ci * chunk
-            md = jnp.concatenate([best_s, nd], axis=1)
-            mi = jnp.concatenate([best_i, ni], axis=1)
-            td, ti = jax.lax.top_k(md, P + 1)
-            return (td, jnp.take_along_axis(mi, ti, axis=1), ci + 1), None
+            return None, (nd, ni)
 
-        init = (
-            jnp.full((W, P + 1), -jnp.inf, jnp.float32),
-            jnp.full((W, P + 1), -1, jnp.int32),
-            jnp.int32(0),
-        )
-        (scores, ids, _), _ = jax.lax.scan(body, init, (tbl, bias))
+        _, (nds, nis) = jax.lax.scan(body, None, (tbl, bias))
+        offs = (jnp.arange(n_chunks, dtype=jnp.int32) * chunk)[None, :, None]
+        alld = jnp.moveaxis(nds, 0, 1).reshape(W, n_chunks * (P + 1))
+        alli = (jnp.moveaxis(nis, 0, 1) + offs).reshape(W, n_chunks * (P + 1))
+        if n_chunks == 1:
+            scores, ids = alld, alli
+        else:
+            scores, sel = jax.lax.top_k(alld, P + 1)
+            ids = jnp.take_along_axis(alli, sel, axis=1)
         # mask self-matches, keep top P
         scores = jnp.where(ids == slots[:, None], -jnp.inf, scores)
         scores, ti = jax.lax.top_k(scores, P)
@@ -264,8 +264,12 @@ def bulk_build_device(index, data: np.ndarray, wave: int = 4096,
         slots_p[:W] = slots
         cs = (slots_p // chunk).astype(np.int32)
         rs = (slots_p % chunk).astype(np.int32)
+        # rt=0.9: candidate pools tolerate approximate per-chunk top-k
+        # (measured recall parity at 50K: 0.991 vs 0.981 at rt=0.99 —
+        # reverse links repair the tail) and approx_max_k at 0.9 costs
+        # ~2.4x less than at 0.99 (BENCH_NOTES second pass)
         step = _build_step_fn(
-            n_chunks, chunk, d_pad, w_pad, P, m0, index.distance, 0.99
+            n_chunks, chunk, d_pad, w_pad, P, m0, index.distance, 0.9
         )
         st.tbl, st.bias, pool_ids_d, pool_d_d, sel_d = step(
             st.tbl, st.bias, jnp.asarray(rows_w), jnp.asarray(bias_w),
