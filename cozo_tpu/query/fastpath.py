@@ -44,7 +44,7 @@ def _named_rows():
 
 
 class PointPlan:
-    __slots__ = ("rel", "pairs", "head", "limit", "offset")
+    __slots__ = ("rel", "pairs", "head", "limit", "offset", "_compiled")
 
     def __init__(self, rel: str, pairs, head, limit, offset) -> None:
         self.rel = rel
@@ -52,6 +52,9 @@ class PointPlan:
         self.head = head  # [var, ...]
         self.limit = limit
         self.offset = offset
+        # (handle, runner) for the full-key point-get shape — see
+        # _compile_point: skips all per-call plan re-derivation
+        self._compiled = None
 
 
 class CountPlan:
@@ -285,6 +288,57 @@ def _execute_count(plan: CountPlan, db, params: Dict[str, Any], tx):
     upper = lower + b"\xff" * 8
     n = tx.range_count(lower, upper)
     return NamedRows([plan.header], [[n]])
+
+
+def _compile_point(plan: PointPlan, handle, key_exprs, head_cols, nk):
+    """Specialized runner for `?[v, ...] := *rel{k1: $a, ..., v, ...}`
+    (every key column const/param, head projects value columns)."""
+    import struct
+
+    NamedRows = _named_rows()
+    from ..data.memcmp import encode_value
+
+    prefix = struct.pack(">Q", handle.id)
+    head = list(plan.head)
+    vpos = [i - nk for i in head_cols]
+    limit, offset = plan.limit, plan.offset
+    resolvers = []
+    for e, c in zip(key_exprs, handle.keys):
+        if isinstance(e, Const):
+            resolvers.append((None, e.val, c.typing))
+        else:  # ParamRef
+            resolvers.append((e.name, None, c.typing))
+
+    def run(params, tx):
+        buf = bytearray(prefix)
+        for pname, cval, typing in resolvers:
+            if pname is None:
+                val = cval
+            else:
+                if pname not in params:
+                    raise QueryError(
+                        f"Required parameter {pname} not found",
+                        code="parser::param_not_found",
+                    )
+                val = deep_freeze(params[pname])
+            if typing is not None:
+                try:
+                    val = coerce_value(val, typing)
+                except CozoError:
+                    return NamedRows(head, [])  # unmatchable key
+            encode_value(buf, val)
+        v = tx.get(bytes(buf))
+        if v is None:
+            return NamedRows(head, [])
+        vals = decode_tuple(v) if v else []
+        rows = [[vals[p] for p in vpos]]
+        if offset:
+            rows = rows[offset:]
+        if limit is not None:
+            rows = rows[:limit]
+        return NamedRows(head, rows)
+
+    return run
 
 
 def _compile_extractors(plan: MutatePlan, handle):
@@ -634,6 +688,9 @@ def execute(plan, db, params: Dict[str, Any], cur_vld: int,
             return MISS
         if handle.access_level not in ("normal", "protected", "read_only"):
             return MISS
+        comp = plan._compiled
+        if comp is not None and comp[0] is handle:
+            return comp[1](params, tx)
         cols = handle.keys + handle.values
         col_idx = {c.name: i for i, c in enumerate(cols)}
         nk = len(handle.keys)
@@ -652,6 +709,19 @@ def execute(plan, db, params: Dict[str, Any], cur_vld: int,
         for v in plan.head:
             if v not in bind_col:
                 return MISS
+        head_cols = [bind_col[v] for v in plan.head]
+
+        # full-key point get with value-column projection: compile a
+        # runner specialized to this (plan, handle) pair — skips all of
+        # the per-call shape re-derivation below
+        if (
+            all(exprs[i] is not None for i in range(nk))
+            and all(e is None for e in exprs[nk:])
+            and all(i >= nk for i in head_cols)
+        ):
+            runner = _compile_point(plan, handle, exprs[:nk], head_cols, nk)
+            plan._compiled = (handle, runner)
+            return runner(params, tx)
 
         # constant/param key prefix
         prefix_vals = []
@@ -672,8 +742,6 @@ def execute(plan, db, params: Dict[str, Any], cur_vld: int,
         for i, e in enumerate(exprs):
             if e is not None and i >= len(prefix_vals):
                 filters.append((i, _resolve(e, params)))
-
-        head_cols = [bind_col[v] for v in plan.head]
 
         if len(prefix_vals) == nk and not filters:
             row = handle.get_row(tx, prefix_vals)
