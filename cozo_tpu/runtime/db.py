@@ -648,7 +648,13 @@ class Db:
             out.conn.execute("PRAGMA journal_mode=OFF")
             out.conn.execute("PRAGMA synchronous=OFF")
             tx = self.storage.transact(write=False)
-            out.batch_put(tx.total_scan())
+            # fresh file: plain INSERT (no upsert conflict clause) — the
+            # source scan yields keys in order, the best case for the
+            # WITHOUT ROWID clustered b-tree
+            with out.conn:
+                out.conn.executemany(
+                    "INSERT INTO cozo(k, v) VALUES(?, ?)", tx.total_scan()
+                )
             tx.abort()
         finally:
             out.close()
