@@ -279,14 +279,14 @@ def decode_value(data: bytes, pos: int) -> Tuple[Any, int]:
     raise ValueError(f"unknown value tag 0x{tag:02x} at {pos - 1}")
 
 
-def encode_tuple(tup) -> bytes:
+def _py_encode_tuple(tup) -> bytes:
     buf = bytearray()
     for v in tup:
         encode_value(buf, v)
     return bytes(buf)
 
 
-def decode_tuple(data: bytes, pos: int = 0, end: int | None = None) -> list:
+def _py_decode_tuple(data: bytes, pos: int = 0, end: int | None = None) -> list:
     out = []
     if end is None:
         end = len(data)
@@ -294,3 +294,27 @@ def decode_tuple(data: bytes, pos: int = 0, end: int | None = None) -> list:
         v, pos = decode_value(data, pos)
         out.append(v)
     return out
+
+
+try:  # C scalar codec (native/codec.c); falls back per-call on complex
+    from ..utils.native_codec import load as _load_ccodec
+
+    _ccodec = _load_ccodec()
+except Exception:  # pragma: no cover — no compiler / exotic platform
+    _ccodec = None
+
+if _ccodec is not None:
+    _c_enc = _ccodec.encode_tuple
+    _c_dec = _ccodec.decode_tuple
+
+    def encode_tuple(tup) -> bytes:
+        out = _c_enc(tup)
+        return out if out is not None else _py_encode_tuple(tup)
+
+    def decode_tuple(data: bytes, pos: int = 0, end: int | None = None) -> list:
+        out = _c_dec(data, pos, -1 if end is None else end)
+        return out if out is not None else _py_decode_tuple(data, pos, end)
+
+else:  # pragma: no cover
+    encode_tuple = _py_encode_tuple
+    decode_tuple = _py_decode_tuple

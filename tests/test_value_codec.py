@@ -149,3 +149,43 @@ def test_to_json():
     assert to_json(Vector(np.array([1, 2], dtype=np.float32))) == [1.0, 2.0]
     assert to_json(Validity(5, True)) == [5, True]
     assert to_json(Json({"x": 1})) == {"x": 1}
+
+
+def test_c_codec_parity_fuzz():
+    """The C scalar codec (native/codec.c) must agree byte-for-byte with
+    the pure-Python encoder and round-trip identically, including the
+    fallback on complex types and out-of-range ints."""
+    import math
+    import random
+    import uuid as _uuid
+
+    import pytest
+
+    from cozo_tpu.data import memcmp as M
+    from cozo_tpu.data.value import Uuid, Validity
+
+    if M._ccodec is None:
+        pytest.skip("C codec unavailable")
+    random.seed(7)
+    vals = [None, True, False, 0, 1, -1, 2**62, -(2**62), 2**63 - 1,
+            -(2**63), 0.0, -0.0, 1.5, -1.5, float("inf"), float("-inf"),
+            math.pi, "", "a", "héllo", "with\x00zero", b"", b"x",
+            b"\x00\x01\x00", "長い日本語テキスト"]
+    for _ in range(2000):
+        tup = [random.choice(vals) for _ in range(random.randrange(0, 5))]
+        c = M.encode_tuple(tup)
+        assert c == M._py_encode_tuple(tup), tup
+        assert repr(M.decode_tuple(c)) == repr(list(tup))
+    # complex values take the fallback and still match
+    tup = [1, Uuid(_uuid.uuid4()), Validity(5, True), ["nested", 2]]
+    assert M.encode_tuple(tup) == M._py_encode_tuple(tup)
+    assert repr(M.decode_tuple(M.encode_tuple(tup))) == repr(
+        M._py_decode_tuple(M._py_encode_tuple(tup))
+    )
+    # NaN encodes identically and round-trips as NaN
+    c = M.encode_tuple([float("nan")])
+    assert c == M._py_encode_tuple([float("nan")])
+    assert math.isnan(M.decode_tuple(c)[0])
+    # ints beyond i64 raise the canonical error via the Python fallback
+    with pytest.raises(Exception):
+        M.encode_tuple([10**30])
