@@ -1,0 +1,186 @@
+"""int8-quantized chunked MXU sweep — vector serving beyond f32-in-HBM
+scale (SURVEY §5.7: BASELINE config #5 is 10M x 768-d; the f32 table is
+30GB against 16GB HBM, the int8 table is 7.4GB).
+
+Design (ScaNN-family asymmetric scoring, TPU-first):
+  - storage: per-row max-abs scale s_r = max|v_i|/127, rows quantized to
+    int8; scales stay f32.  Cosine rows are L2-normalized first.
+  - scan: int8 x int8 MXU matmul (int32 accumulate) per chunk, rescaled
+    by s_r (the per-query scale is rank-invariant), `approx_max_k`
+    over-fetch, one exact end merge.
+  - re-rank: the over-fetched candidate ids are re-scored on the host
+    against the f32 vectors (which stay in host RAM — they never fit on
+    device at this scale), restoring exact top-k order.
+
+Reference anchor: runtime/hnsw.rs:869-1012 serves any-scale tables by
+streaming from the KV store; this is the TPU equivalent where HBM, not
+the algorithm, is the binding constraint.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+def _jx():
+    from ..utils.jax_setup import ensure_jax_config
+
+    ensure_jax_config()
+    import jax
+    import jax.numpy as jnp
+
+    return jax, jnp
+
+
+def _chunking(n: int) -> Tuple[int, int]:
+    from .exact_knn import _chunking as c
+
+    return c(n)
+
+
+_QSWEEP_FNS = {}
+
+
+def _qsweep_fn(n_chunks: int, chunk: int, d_pad: int, kf: int, rt: float):
+    jax, jnp = _jx()
+    key = (n_chunks, chunk, d_pad, kf, rt)
+    fn = _QSWEEP_FNS.get(key)
+    if fn is not None:
+        return fn
+
+    @jax.jit
+    def run(tbl_i8, scales, qs_i8):
+        B = qs_i8.shape[0]
+
+        def body(_, xs):
+            cv, cs = xs  # [chunk, d_pad] i8, [chunk] f32
+            s32 = jax.lax.dot_general(
+                qs_i8, cv,
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            s = s32.astype(jnp.float32) * cs[None, :]
+            nd, ni = jax.lax.approx_max_k(s, kf, recall_target=rt)
+            return None, (nd, ni)
+
+        _, (nds, nis) = jax.lax.scan(body, None, (tbl_i8, scales))
+        offs = (jnp.arange(n_chunks, dtype=jnp.int32) * chunk)[None, :, None]
+        alld = jnp.moveaxis(nds, 0, 1).reshape(B, n_chunks * kf)
+        alli = (jnp.moveaxis(nis, 0, 1) + offs).reshape(B, n_chunks * kf)
+        if n_chunks == 1:
+            return alli, alld
+        sc, sel = jax.lax.top_k(alld, kf)
+        return jnp.take_along_axis(alli, sel, axis=1), sc
+
+    _QSWEEP_FNS[key] = run
+    return fn or run
+
+
+class QuantSweepTable:
+    """Device-resident int8 table + scales for one index/matrix."""
+
+    def __init__(self) -> None:
+        self.tbl = None  # [n_chunks, chunk, d_pad] int8 on device
+        self.scales = None  # [n_chunks, chunk] f32 (0 = dead row)
+        self.chunk = self.n_chunks = self.d_pad = 0
+        self.n = 0
+        self.distance = "Cosine"
+        self.version = -1
+
+    @staticmethod
+    def quantize_rows(vecs: np.ndarray, distance: str,
+                      alive: Optional[np.ndarray] = None):
+        """Returns (q_rows int8 [n, d], scales f32 [n]) in scoring form:
+        score(q, r) = (q_i8 . r_i8) * scales[r] monotonically ranks the
+        true metric for a fixed query (cosine/IP: descending dot; L2 is
+        not supported — use cosine on normalized data)."""
+        v = np.asarray(vecs, dtype=np.float32)
+        if distance == "Cosine":
+            nrm = np.linalg.norm(v, axis=1, keepdims=True)
+            v = v / np.where(nrm > 0, nrm, 1.0)
+        elif distance != "IP":
+            raise ValueError("int8 sweep supports Cosine/IP distances")
+        mx = np.abs(v).max(axis=1)
+        scale = np.where(mx > 0, mx / 127.0, 1.0).astype(np.float32)
+        q = np.clip(np.rint(v / scale[:, None]), -127, 127).astype(np.int8)
+        if alive is not None:
+            scale = np.where(alive, scale, 0.0).astype(np.float32)
+        return q, scale
+
+    def load(self, vecs: np.ndarray, distance: str,
+             alive: Optional[np.ndarray] = None, chunk: Optional[int] = None):
+        jax, jnp = _jx()
+        n, d = vecs.shape
+        self.n, self.distance = n, distance
+        self.d_pad = max(128, int(math.ceil(d / 128) * 128))
+        if chunk is None:
+            chunk, n_chunks = _chunking(n)
+        else:
+            n_chunks = -(-n // chunk)
+        self.chunk, self.n_chunks = chunk, n_chunks
+        total = chunk * n_chunks
+        q, s = self.quantize_rows(vecs, distance, alive)
+        qp = np.zeros((total, self.d_pad), dtype=np.int8)
+        qp[:n, :d] = q
+        sp = np.zeros(total, dtype=np.float32)
+        sp[:n] = s
+        self.tbl = jax.device_put(
+            jnp.asarray(qp.reshape(n_chunks, chunk, self.d_pad)))
+        self.scales = jax.device_put(
+            jnp.asarray(sp.reshape(n_chunks, chunk)))
+        return self
+
+    def quantize_queries(self, qs: np.ndarray):
+        q = np.asarray(qs, dtype=np.float32)
+        if self.distance == "Cosine":
+            nrm = np.linalg.norm(q, axis=1, keepdims=True)
+            q = q / np.where(nrm > 0, nrm, 1.0)
+        mx = np.abs(q).max(axis=1)
+        scale = np.where(mx > 0, mx / 127.0, 1.0)
+        qi = np.clip(np.rint(q / scale[:, None]), -127, 127).astype(np.int8)
+        qp = np.zeros((q.shape[0], self.d_pad), dtype=np.int8)
+        qp[:, : q.shape[1]] = qi
+        return qp
+
+    def search_candidates(self, qs: np.ndarray, kf: int, rt: float = 0.95):
+        """(ids [B, kf], approx scores) from the quantized scan."""
+        jax, jnp = _jx()
+        fn = _qsweep_fn(self.n_chunks, self.chunk, self.d_pad, kf, rt)
+        qp = self.quantize_queries(qs)
+        ids, sc = fn(self.tbl, self.scales, jnp.asarray(qp))
+        ids = np.asarray(ids, dtype=np.int64)
+        sc = np.asarray(sc)
+        bad = (ids < 0) | (ids >= self.n) | ~np.isfinite(sc) | (sc == 0.0)
+        return np.where(bad, -1, ids), sc
+
+
+def quant_search(vectors: np.ndarray, table: QuantSweepTable, qs: np.ndarray,
+                 k: int, overfetch: int = 8, rt: float = 0.95):
+    """End-to-end: int8 device scan over-fetching overfetch*k candidates,
+    exact f32 re-rank on the host against `vectors` (the full-precision
+    rows, host-resident).  Returns (ids [B, k], dists [B, k]) with the
+    index's distance semantics (cosine distance / negative IP)."""
+    kf = min(max(k * overfetch, k), table.chunk)
+    ids, _ = table.search_candidates(qs, kf, rt)
+    B = qs.shape[0]
+    q = np.asarray(qs, dtype=np.float32)
+    if table.distance == "Cosine":
+        qn = np.linalg.norm(q, axis=1, keepdims=True)
+        q = q / np.where(qn > 0, qn, 1.0)
+    safe = np.where(ids >= 0, ids, 0)
+    cand = vectors[safe].astype(np.float32)  # [B, kf, d]
+    if table.distance == "Cosine":
+        cn = np.linalg.norm(cand, axis=2)
+        dots = np.einsum("bkd,bd->bk", cand, q)
+        sims = dots / np.where(cn > 0, cn, 1.0)
+        d = 1.0 - sims
+    else:  # IP
+        d = -np.einsum("bkd,bd->bk", cand, q)
+    d = np.where(ids >= 0, d, np.inf)
+    sel = np.argsort(d, axis=1, kind="stable")[:, :k]
+    out_ids = np.take_along_axis(ids, sel, axis=1)
+    out_d = np.take_along_axis(d, sel, axis=1)
+    return out_ids, out_d

@@ -1,0 +1,59 @@
+"""int8-quantized sweep (ops/quant_knn.py): recall against exact ground
+truth, dead-row masking, IP metric, and the host re-rank contract."""
+
+import numpy as np
+import pytest
+
+from cozo_tpu.ops.quant_knn import QuantSweepTable, quant_search
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(3)
+    return rng.standard_normal((8192, 48)).astype(np.float32)
+
+
+def _gt_cosine(data, qs, k):
+    dn = data / np.linalg.norm(data, axis=1, keepdims=True)
+    qn = qs / np.linalg.norm(qs, axis=1, keepdims=True)
+    return np.argsort(-(qn @ dn.T), axis=1)[:, :k]
+
+
+def test_recall_with_rerank(data):
+    rng = np.random.default_rng(4)
+    qs = data[:32] + 0.05 * rng.standard_normal((32, 48)).astype(np.float32)
+    t = QuantSweepTable().load(data, "Cosine")
+    ids, d = quant_search(data, t, qs, 10, overfetch=8, rt=0.99)
+    gt = _gt_cosine(data, qs, 10)
+    rec = np.mean([
+        len(set(ids[b].tolist()) & set(gt[b].tolist())) / 10 for b in range(32)
+    ])
+    assert rec > 0.97, rec
+    # distances ascending per row
+    assert (np.diff(d, axis=1) >= -1e-6).all()
+
+
+def test_dead_rows_never_returned(data):
+    alive = np.ones(len(data), bool)
+    alive[::3] = False
+    t = QuantSweepTable().load(data, "Cosine", alive=alive)
+    qs = data[::3][:16]  # queries exactly at dead rows
+    ids, _ = quant_search(data, t, qs, 5)
+    assert (ids % 3 != 0).all() or (ids < 0).any() is False
+    assert not np.isin(ids[ids >= 0], np.nonzero(~alive)[0]).any()
+
+
+def test_ip_metric(data):
+    t = QuantSweepTable().load(data, "IP")
+    qs = data[:8]
+    ids, d = quant_search(data, t, qs, 5)
+    gt = np.argsort(-(qs @ data.T), axis=1)[:, :5]
+    agree = np.mean([
+        len(set(ids[b].tolist()) & set(gt[b].tolist())) / 5 for b in range(8)
+    ])
+    assert agree > 0.95, agree
+
+
+def test_l2_rejected(data):
+    with pytest.raises(ValueError):
+        QuantSweepTable().load(data, "L2")
