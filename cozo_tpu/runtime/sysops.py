@@ -236,29 +236,39 @@ def run_sys_op(db, op: A.SysOp, immutable: bool = False):
             tx.abort()
             raise
 
+    # index DDL serializes against writers of the base relation (same
+    # per-relation lock the mutation executor takes): a `:put` committed
+    # mid-backfill would otherwise miss the index (its cached handle
+    # predates the index manifest) — the reference gets this from its
+    # relation ShardedLocks (runtime/db.rs:831-856)
     if kind == "create_index":
         from .index_ddl import create_normal_index
 
-        return create_normal_index(db, p["rel"], p["idx"], p["cols"])
+        with db._lock_for(p["rel"]):
+            return create_normal_index(db, p["rel"], p["idx"], p["cols"])
 
     if kind == "create_hnsw_index":
         from .hnsw import create_hnsw_index
 
-        return create_hnsw_index(db, p["config"])
+        with db._lock_for(p["config"].base_relation):
+            return create_hnsw_index(db, p["config"])
 
     if kind == "create_fts_index":
         from ..fts.indexing import create_fts_index
 
-        return create_fts_index(db, p["config"])
+        with db._lock_for(p["config"].base_relation):
+            return create_fts_index(db, p["config"])
 
     if kind == "create_lsh_index":
         from .minhash_lsh import create_lsh_index
 
-        return create_lsh_index(db, p["config"])
+        with db._lock_for(p["config"].base_relation):
+            return create_lsh_index(db, p["config"])
 
     if kind == "drop_index":
         from .index_ddl import drop_index
 
-        return drop_index(db, p["rel"], p["idx"])
+        with db._lock_for(p["rel"]):
+            return drop_index(db, p["rel"], p["idx"])
 
     raise QueryError(f"unknown sys op '{kind}'")

@@ -184,3 +184,48 @@ def test_fixed_rule_aliases_run():
     assert _rows(r)
     r2 = db.run_script("?[x, cc] <~ SCC(*e[])")
     assert len(_rows(r2)) == 4
+
+
+def test_index_ddl_serializes_with_writers():
+    """::hnsw create must hold the base relation's write lock: a :put
+    committing mid-backfill would miss the index (its cached handle
+    predates the manifest). Reference analog: relation ShardedLocks
+    (runtime/db.rs:831-856)."""
+    import threading
+
+    import numpy as np
+
+    from cozo_tpu.runtime.db import Db
+
+    db = Db("mem")
+    db.run_script(":create item {id: Int => emb: <F32; 8>}")
+    rng = np.random.default_rng(0)
+    rows = [[i, list(map(float, rng.standard_normal(8)))] for i in range(500)]
+    db.run_script("?[id, emb] <- $rows :put item {id => emb}",
+                  params={"rows": rows})
+    err = []
+
+    def writer():
+        try:
+            for j in range(500, 520):
+                db.run_script(
+                    "?[id, emb] <- [[$i, $e]] :put item {id => emb}",
+                    params={"i": j,
+                            "e": list(map(float, rng.standard_normal(8)))})
+        except Exception as e:  # noqa: BLE001
+            err.append(e)
+
+    t = threading.Thread(target=writer)
+    t.start()
+    db.run_script(
+        "::hnsw create item:v {dim: 8, m: 8, dtype: F32, fields: [emb], "
+        "distance: L2, ef_construction: 20}")
+    t.join()
+    assert not err, err
+    for j in range(500, 520):
+        q = db.run_script("?[e] := *item{id: $i, emb: e}",
+                          params={"i": j}).rows[0][0]
+        r = db.run_script(
+            "?[id] := ~item:v{id | query: vec($q), k: 3, ef: 30}",
+            params={"q": q})
+        assert j in {x[0] for x in r.rows}, (j, r.rows)
