@@ -77,6 +77,9 @@ class HnswIndex:
         # mesh-sharded serving table (COZO_TPU_MESH), rebuilt on version
         self._mesh_sweep = None
         self._mesh_sweep_version = -1
+        # int8-quantized serving table (f32 table > HBM budget)
+        self._quant_sweep = None
+        self._quant_sweep_version = -1
 
     # ------------------------------------------------------------------ sizing
 
@@ -420,6 +423,31 @@ class HnswIndex:
             except Exception:  # pragma: no cover — device fallback
                 pass
         if use_tpu:
+            # beyond the f32-in-HBM budget (10M x 768 ~ 30GB vs 16GB HBM)
+            # serve through the int8-quantized sweep + host f32 re-rank
+            # (ops/quant_knn.py); opt-out/resize via COZO_TPU_F32_TABLE_MAX
+            import os as _os
+
+            d_pad = max(128, -(-self.dim // 128) * 128)
+            f32_bytes = int(self.n) * d_pad * 4
+            budget = int(
+                _os.environ.get("COZO_TPU_F32_TABLE_MAX", 8 << 30)
+            )
+            if f32_bytes > budget and self.distance in ("Cosine", "IP"):
+                try:
+                    from ..ops.quant_knn import QuantSweepTable, quant_search
+
+                    qt = self._quant_sweep
+                    if qt is None or self._quant_sweep_version != self.version:
+                        qt = QuantSweepTable().load(
+                            self.vectors[: self.n], self.distance,
+                            alive=self.alive[: self.n],
+                        )
+                        self._quant_sweep = qt
+                        self._quant_sweep_version = self.version
+                    return quant_search(self.vectors, qt, qs, k)
+                except Exception:  # pragma: no cover — device fallback
+                    pass
             # Large query batches (or single-chunk tables): the chunked MXU
             # sweep is faster AND more accurate than graph traversal on TPU
             # (row gathers run ~1.6 GB/s vs matmuls at TFLOP/s — see

@@ -57,3 +57,25 @@ def test_ip_metric(data):
 def test_l2_rejected(data):
     with pytest.raises(ValueError):
         QuantSweepTable().load(data, "L2")
+
+
+def test_auto_quant_serving_policy(monkeypatch):
+    """HnswIndex.search engages the int8 sweep when the f32 table would
+    exceed the HBM budget (COZO_TPU_F32_TABLE_MAX)."""
+    from cozo_tpu.models.hnsw_index import HnswIndex
+
+    monkeypatch.setenv("COZO_TPU_F32_TABLE_MAX", "100000")
+    rng = np.random.default_rng(0)
+    n, d = 4096, 32
+    data = rng.standard_normal((n, d)).astype(np.float32)
+    idx = HnswIndex(dim=d, m=8, ef_construction=32, distance="Cosine")
+    idx.bulk_build(data, wave=1024)
+    qs = data[:32] + 0.02 * rng.standard_normal((32, d)).astype(np.float32)
+    ids, _ = idx.search(qs, 10, 64, use_tpu=True)
+    assert idx._quant_sweep is not None
+    gt = _gt_cosine(data, qs, 10)
+    rec = np.mean([
+        len(set(ids[b].tolist()) & set(gt[b].tolist())) / 10
+        for b in range(32)
+    ])
+    assert rec > 0.97, rec
