@@ -10,10 +10,36 @@ import numpy as np
 N, D, NQ, K = 10_000_000, 768, 1024, 10
 B = 1024
 
+def emb_like_fast(n, d, seed=11, n_clusters=4096, rank=96):
+    """Clustered embedding stand-in generated at BLAS speed: per-cluster
+    low-rank latents (rank-96 anisotropic) expanded to d dims.  This VM
+    generates normals at only ~14M f32/s, so the full-rank glove_like
+    would take ~10 minutes for 7.7G values; the latent scheme needs
+    n*rank normals + one matmul, and low intrinsic dimension per cluster
+    is itself embedding-realistic."""
+    rng = np.random.default_rng(seed)
+    w = 1.0 / np.arange(1, n_clusters + 1) ** 0.9
+    w /= w.sum()
+    sizes = rng.multinomial(n, w)
+    centers = (rng.standard_normal((n_clusters, d)) * 4.0).astype(np.float32)
+    out = np.empty((n, d), dtype=np.float32)
+    pos = 0
+    for c in range(n_clusters):
+        s = sizes[c]
+        if s == 0:
+            continue
+        z = rng.standard_normal((s, rank), dtype=np.float32)
+        z *= np.exp(rng.standard_normal(rank) * 0.6).astype(np.float32)[None, :]
+        basis = rng.standard_normal((rank, d), dtype=np.float32) / np.sqrt(rank)
+        out[pos : pos + s] = centers[c][None, :] + z @ basis
+        pos += s
+    out *= np.exp(rng.standard_normal(n) * 0.25).astype(np.float32)[:, None]
+    return out
+
+
 t0 = time.time()
-from cozo_tpu.utils.datasets import glove_like
-data = glove_like(N + NQ, D, seed=11, n_clusters=4096)
-qs = data[N:]
+data = emb_like_fast(N + NQ, D)
+qs = data[N:].copy()
 data = data[:N]
 print(f"datagen {time.time()-t0:.0f}s ({data.nbytes/2**30:.1f} GiB)", flush=True)
 
