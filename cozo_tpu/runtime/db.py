@@ -91,6 +91,10 @@ class Db:
             from ..storage.tkv import TkvStorage
 
             self.storage = TkvStorage(path)
+        elif engine in ("remote", "tikv"):
+            from ..storage.remote import RemoteStorage
+
+            self.storage = RemoteStorage(path)
         else:
             raise CozoError(f"unknown storage engine '{engine}'")
         tx = self.storage.transact(write=True)

@@ -66,7 +66,6 @@ class StoreTx:
         """All keys in [lower, upper) as a list — bulk staging hook
         (engines override with O(k) slicing / native export)."""
         return [k for k, _ in self.range_scan(lower, upper)]
-        return None
 
     def total_scan(self) -> Iterator[Tuple[bytes, bytes]]:
         return self.range_scan(b"", b"\xff" * 9)
