@@ -19,7 +19,13 @@ from ..data.value import Vector, cmp_key
 from ..models.hnsw_index import HnswIndex
 from ..parse import ast as A
 from ..utils.errors import IndexError_, QueryError
-from .relation import ColumnDef, RelationHandle, parse_col_type_str
+from .relation import (
+    INTERNAL_ID,
+    ColumnDef,
+    RelationHandle,
+    parse_col_type_str,
+    rel_prefix,
+)
 
 _DTYPES = {"F32": np.float32, "F64": np.float64}
 
@@ -33,6 +39,8 @@ class HnswCache:
         self.manifest = manifest
         self.key_to_slot: Dict[tuple, int] = {}
         self.slot_to_item: Dict[int, Tuple[list, int]] = {}
+        # mirrors the KV canary version this cache was built from
+        self.version = 0
 
     def item_key(self, key_vals: list, field_idx: int) -> tuple:
         return (tuple(cmp_key(v) for v in key_vals), field_idx)
@@ -42,12 +50,45 @@ def _cache_key(rel: str, idx: str) -> str:
     return f"hnsw::{rel}::{idx}"
 
 
+def _canary_key(rel: str, idx: str) -> bytes:
+    """Index-structure version cell, analog of the reference's HNSW canary
+    row (`runtime/hnsw.rs:660-669`).  Lives in the INTERNAL_ID range so
+    proximity-graph scans never see it.  Every structural mutation reads
+    it `for_update` and bumps it: under OCC engines (tkv/remote) two
+    concurrent writers to the same index conflict at commit; any observer
+    whose in-memory cache was built from an older version rebuilds."""
+    return (
+        rel_prefix(INTERNAL_ID)
+        + b"hnsw_canary::"
+        + rel.encode()
+        + b"::"
+        + idx.encode()
+    )
+
+
+def _canary_version(tx, idx_handle, rel: str, idx: str, for_update=False) -> int:
+    raw = tx.store_tx_for(idx_handle).get(
+        _canary_key(rel, idx), for_update=for_update
+    )
+    return int(raw) if raw else 0
+
+
+def _bump_canary(tx, idx_handle, rel: str, idx: str, cache: HnswCache) -> None:
+    store_tx = tx.store_tx_for(idx_handle)
+    ver = _canary_version(tx, idx_handle, rel, idx, for_update=True)
+    store_tx.put(_canary_key(rel, idx), str(ver + 1).encode())
+    cache.version = ver + 1
+
+
 def get_hnsw_cache(db, tx, handle: RelationHandle, idx_name: str, meta: dict) -> HnswCache:
     ck = _cache_key(handle.name, idx_name)
     cache = db.algo_cache.get(ck)
-    if cache is not None:
+    idx_handle = tx.get_relation(f"{handle.name}:{idx_name}")
+    ver = _canary_version(tx, idx_handle, handle.name, idx_name)
+    if cache is not None and cache.version == ver:
         return cache
     cache = _rebuild_cache(db, tx, handle, idx_name, meta)
+    cache.version = ver
     db.algo_cache[ck] = cache
     return cache
 
@@ -233,6 +274,7 @@ def create_hnsw_index(db, cfg: A.HnswIndexConfig):
                 cache.key_to_slot[cache.item_key(key_vals, fi)] = slot
                 cache.slot_to_item[slot] = (key_vals, fi)
         _sync_dirty_to_kv(cache, tx, handle, idx_handle)
+        _bump_canary(tx, idx_handle, cfg.base_relation, cfg.index_name, cache)
         tx.commit()
         db.algo_cache[_cache_key(cfg.base_relation, cfg.index_name)] = cache
         return NamedRows.ok()
@@ -327,6 +369,7 @@ def _sync_dirty_to_kv(cache: HnswCache, tx, handle, idx_handle) -> None:
 def hnsw_put(db, tx, handle, idx_name, meta, new_row, old_row) -> None:
     cache = get_hnsw_cache(db, tx, handle, idx_name, meta)
     idx_handle = tx.get_relation(f"{handle.name}:{idx_name}")
+    _bump_canary(tx, idx_handle, handle.name, idx_name, cache)
     manifest = meta["config"]
     nk = len(handle.keys)
     filt = _compile_filter(manifest, handle)
@@ -345,6 +388,7 @@ def hnsw_put(db, tx, handle, idx_name, meta, new_row, old_row) -> None:
 def hnsw_remove(db, tx, handle, idx_name, meta, old_row) -> None:
     cache = get_hnsw_cache(db, tx, handle, idx_name, meta)
     idx_handle = tx.get_relation(f"{handle.name}:{idx_name}")
+    _bump_canary(tx, idx_handle, handle.name, idx_name, cache)
     manifest = meta["config"]
     nk = len(handle.keys)
     for fi in range(len(manifest["fields"])):

@@ -169,3 +169,82 @@ def test_concurrent_db_writers_conflict_detected(server):
         t2.commit()
     out = db1.run_script("?[v] := *cell{k: 0, v}")
     assert out.rows[0][0] == 1
+
+
+def _mk_vec_db(addr):
+    from cozo_tpu.runtime.db import Db
+
+    db = Db("remote", addr)
+    return db
+
+
+def test_hnsw_cross_client_visibility(server):
+    """Two Db processes share an HNSW index through the remote store;
+    the canary version (reference `runtime/hnsw.rs:660-669` analog)
+    invalidates the second client's in-memory cache when the first
+    mutates the index."""
+    db1 = _mk_vec_db(_addr(server))
+    db1.run_script(":create doc {id: Int => v: <F32; 4>}")
+    db1.run_script(
+        "?[id, v] <- [[0, [1.0,0.0,0.0,0.0]], [1, [0.0,1.0,0.0,0.0]]] "
+        ":put doc {id => v}"
+    )
+    db1.run_script(
+        "::hnsw create doc:ix {dim: 4, m: 4, dtype: F32, fields: [v], "
+        "distance: L2, ef_construction: 16}"
+    )
+    db2 = _mk_vec_db(_addr(server))
+    out = db2.run_script(
+        "?[id] := ~doc:ix{id | query: vec([1.0,0.0,0.0,0.0]), k: 1, ef: 8}"
+    )
+    assert [r[0] for r in out.rows] == [0]  # db2 cache now built
+
+    # db1 inserts a closer vector; db2 must observe it (stale cache rebuilt)
+    db1.run_script(
+        "?[id, v] <- [[9, [0.9,0.1,0.0,0.0]]] :put doc {id => v}"
+    )
+    out = db2.run_script(
+        "?[id] := ~doc:ix{id | query: vec([0.9,0.1,0.0,0.0]), k: 1, ef: 8}"
+    )
+    assert [r[0] for r in out.rows] == [9]
+
+    # and deletes propagate too
+    db1.run_script("?[id] <- [[0]] :rm doc {id}")
+    out = db2.run_script(
+        "?[id] := ~doc:ix{id | query: vec([1.0,0.0,0.0,0.0]), k: 2, ef: 8}"
+    )
+    assert 0 not in {r[0] for r in out.rows}
+
+
+def test_hnsw_concurrent_writers_conflict(server):
+    """Concurrent structural mutations of the same index from two
+    clients: the canary's for_update read-modify-write must make the
+    second commit fail under the server's OCC."""
+    db1 = _mk_vec_db(_addr(server))
+    db1.run_script(":create emb {id: Int => v: <F32; 4>}")
+    db1.run_script(
+        "?[id, v] <- [[0, [1.0,0.0,0.0,0.0]]] :put emb {id => v}"
+    )
+    db1.run_script(
+        "::hnsw create emb:ix {dim: 4, m: 4, dtype: F32, fields: [v], "
+        "distance: L2, ef_construction: 16}"
+    )
+    db2 = _mk_vec_db(_addr(server))
+    # warm both caches
+    for d in (db1, db2):
+        d.run_script(
+            "?[id] := ~emb:ix{id | query: vec([1.0,0.0,0.0,0.0]), k: 1, ef: 8}"
+        )
+    t1 = db1.multi_transaction()
+    t2 = db2.multi_transaction()
+    t1.run_script("?[id, v] <- [[10, [0.5,0.5,0.0,0.0]]] :put emb {id => v}")
+    t2.run_script("?[id, v] <- [[11, [0.5,0.0,0.5,0.0]]] :put emb {id => v}")
+    t1.commit()
+    with pytest.raises(Exception, match="[Cc]onflict"):
+        t2.commit()
+    # loser retries on a fresh tx and succeeds; index sees both worlds
+    db2.run_script("?[id, v] <- [[11, [0.5,0.0,0.5,0.0]]] :put emb {id => v}")
+    out = db1.run_script(
+        "?[id] := ~emb:ix{id | query: vec([0.5,0.0,0.5,0.0]), k: 1, ef: 8}"
+    )
+    assert [r[0] for r in out.rows] == [11]
