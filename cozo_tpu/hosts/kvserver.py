@@ -15,7 +15,9 @@ import argparse
 
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--engine", default="mem", choices=["mem", "sqlite", "tkv"])
+    ap.add_argument(
+        "--engine", default="mem", choices=["mem", "sqlite", "tkv", "plog"]
+    )
     ap.add_argument("--path", default="")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=9070)
@@ -29,6 +31,10 @@ def main(argv=None) -> None:
         from ..storage.sqlite import SqliteStorage
 
         storage = SqliteStorage(args.path)
+    elif args.engine == "plog":
+        from ..storage.plog import PlogStorage
+
+        storage = PlogStorage(args.path)
     else:
         from ..storage.tkv import TkvStorage
 

@@ -95,6 +95,10 @@ class Db:
             from ..storage.remote import RemoteStorage
 
             self.storage = RemoteStorage(path)
+        elif engine in ("plog", "sled"):
+            from ..storage.plog import PlogStorage
+
+            self.storage = PlogStorage(path)
         else:
             raise CozoError(f"unknown storage engine '{engine}'")
         tx = self.storage.transact(write=True)

@@ -4,7 +4,7 @@ from cozo_tpu.storage.mem import MemStorage
 from cozo_tpu.storage.sqlite import SqliteStorage
 
 
-@pytest.fixture(params=["mem", "sqlite", "tkv", "tkv_mem"])
+@pytest.fixture(params=["mem", "sqlite", "tkv", "tkv_mem", "plog", "remote"])
 def store(request, tmp_path):
     if request.param == "mem":
         yield MemStorage()
@@ -18,6 +18,21 @@ def store(request, tmp_path):
         s = TkvStorage(str(tmp_path / "t.tkv"))
         yield s
         s.close()
+    elif request.param == "plog":
+        from cozo_tpu.storage.plog import PlogStorage
+
+        s = PlogStorage(str(tmp_path / "t.plog"))
+        yield s
+        s.close()
+    elif request.param == "remote":
+        from cozo_tpu.storage.remote import KvServer, RemoteStorage
+
+        srv = KvServer(MemStorage())
+        srv.start_background()
+        s = RemoteStorage(f"{srv.addr[0]}:{srv.addr[1]}")
+        yield s
+        s.close()
+        srv.shutdown()
     else:
         from cozo_tpu.storage.tkv import TkvStorage
 
