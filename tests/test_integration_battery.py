@@ -12,10 +12,20 @@ from cozo_tpu import Db
 @pytest.fixture(scope="module")
 def db(tmp_path_factory):
     engine = os.environ.get("COZO_TEST_DB_ENGINE", "mem")
+    srv = None
     if engine == "mem":
         d = Db("mem")
     elif engine == "sqlite":
         d = Db("sqlite", str(tmp_path_factory.mktemp("e") / "t.db"))
+    elif engine == "plog":
+        d = Db("plog", str(tmp_path_factory.mktemp("e") / "t.plog"))
+    elif engine == "remote":
+        from cozo_tpu.storage.mem import MemStorage
+        from cozo_tpu.storage.remote import KvServer
+
+        srv = KvServer(MemStorage())
+        srv.start_background()
+        d = Db("remote", f"{srv.addr[0]}:{srv.addr[1]}")
     else:
         d = Db("tkv", str(tmp_path_factory.mktemp("e") / "t.tkv"))
     # airports: 26 one-letter codes, in 5 countries
@@ -40,7 +50,9 @@ def db(tmp_path_factory):
             routes.append([frm, to, float(100 * j + i)])
     d.run_script(":create route {fr: String, to: String => dist: Float}")
     d.run_script("?[fr, to, dist] <- $rows :put route {fr, to => dist}", {"rows": routes})
-    return d
+    yield d
+    if srv is not None:
+        srv.shutdown()
 
 
 def test_point_read(db):

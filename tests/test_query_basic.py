@@ -16,12 +16,23 @@ import os
 def db(tmp_path):
     engine = os.environ.get("COZO_TEST_DB_ENGINE", "mem")
     if engine == "mem":
-        return Db("mem")
-    if engine == "sqlite":
-        return Db("sqlite", str(tmp_path / "test.db"))
-    if engine == "tkv":
-        return Db("tkv", str(tmp_path / "test.tkv"))
-    raise ValueError(engine)
+        yield Db("mem")
+    elif engine == "sqlite":
+        yield Db("sqlite", str(tmp_path / "test.db"))
+    elif engine == "tkv":
+        yield Db("tkv", str(tmp_path / "test.tkv"))
+    elif engine == "plog":
+        yield Db("plog", str(tmp_path / "test.plog"))
+    elif engine == "remote":
+        from cozo_tpu.storage.mem import MemStorage
+        from cozo_tpu.storage.remote import KvServer
+
+        srv = KvServer(MemStorage())
+        srv.start_background()
+        yield Db("remote", f"{srv.addr[0]}:{srv.addr[1]}")
+        srv.shutdown()
+    else:
+        raise ValueError(engine)
 
 
 def q(db, script, params=None):
