@@ -828,6 +828,30 @@ class LabelPropagation(FixedRule):
         max_iter = payload.int_option("max_iter", 10)
         indptr, dst, w, verts = _build_adj_w(payload, True)
         n = len(verts)
+        if len(dst) >= TPU_EDGE_THRESHOLD:
+            # scale path: sort/scan-based synchronous LPA on device
+            # (ops/graph_algos.labelprop_jax); the host sweep below is the
+            # reference-semantics path (async, seeded-RNG tie-break)
+            try:
+                from ..ops.graph_algos import graph_content_key, labelprop_jax
+
+                labels = labelprop_jax(
+                    indptr,
+                    dst,
+                    w=w,
+                    iterations=max_iter,
+                    cache_key=graph_content_key(indptr, dst),
+                )
+                _check(poison)
+                remap: Dict[int, int] = {}
+                for i, v in enumerate(verts):
+                    l = int(labels[i])
+                    if l not in remap:
+                        remap[l] = len(remap)
+                    out_put([remap[l], v])
+                return
+            except Exception:  # pragma: no cover — device fallback
+                pass
         labels = np.arange(n, dtype=np.int64)
         rng = random.Random(0xC0203)
         for _ in range(max_iter):

@@ -312,3 +312,126 @@ def sssp_device(indptr, dst, w, sources, max_iters: int = 512, cache_key=None):
         np.asarray(dist)[:, :n].astype(np.float64),
         np.asarray(parent)[:, :n].astype(np.int64),
     )
+
+
+# ------------------------------------------------------------- label prop
+
+
+def _labelprop_compiled(n_pad: int, e_pad: int, iterations: int):
+    """Synchronous weighted label propagation, TPU-native.
+
+    The per-node "most-weighted neighbor label" (a segmented weighted
+    mode — a scatter/hash pattern on CPU, reference
+    `algos/label_propagation.rs`) becomes sort + segmented scans here:
+
+      1. gather neighbor labels along the dst-sorted edge list;
+      2. sort edges by (dst, label) — dst order is already static, so the
+         sort only groups equal labels within each dst segment;
+      3. per-(dst,label) run totals via cumsum + run-base cummax
+         (weights are clamped >= 0, making the cumsum monotone);
+      4. per-dst argmax over run totals via a segmented associative scan
+         carrying (best_weight, best_label); ties pick the smallest
+         label (deterministic — the host path tie-breaks with a seeded
+         RNG instead; partitions agree, label ids need not).
+
+    Everything is gathers, sorts, and scans: no scatters, static shapes.
+    """
+    jax, jnp = _jax()
+
+    @jax.jit
+    def run(src_by_dst, dst_e, w_e, end_pos, has_in, n_real):
+        neg = jnp.float32(-3.4e38)
+
+        def comb(a, b):
+            av, al, af = a
+            bv, bl, bf = b
+            take_b = bf | (bv > av)
+            return (
+                jnp.where(take_b, bv, av),
+                jnp.where(take_b, bl, al),
+                af | bf,
+            )
+
+        dst_start = jnp.concatenate(
+            [jnp.ones((1,), bool), dst_e[1:] != dst_e[:-1]]
+        )
+
+        def body(_, labels):
+            lab_e = labels[src_by_dst]
+            # two-key sort (no int64 packing: jax defaults to 32-bit);
+            # dst_e is already sorted, the sort only groups labels per dst
+            d_s, lab_s, w_s = jax.lax.sort(
+                (dst_e, lab_e, w_e), num_keys=2
+            )
+            diff = (d_s[1:] != d_s[:-1]) | (lab_s[1:] != lab_s[:-1])
+            run_start = jnp.concatenate([jnp.ones((1,), bool), diff])
+            run_end = jnp.concatenate([diff, jnp.ones((1,), bool)])
+            s = jnp.cumsum(w_s)
+            base = jax.lax.cummax(jnp.where(run_start, s - w_s, neg))
+            run_tot = s - base  # inclusive within-run sum
+            cand = jnp.where(run_end, run_tot, neg)
+            _, bestl, _ = jax.lax.associative_scan(
+                comb, (cand, lab_s, dst_start)
+            )
+            picked = bestl[end_pos]
+            upd = jnp.where(
+                has_in & (jnp.arange(n_pad) < n_real), picked, labels
+            )
+            return upd.astype(jnp.int32)
+
+        labels0 = jnp.arange(n_pad, dtype=jnp.int32)
+        return jax.lax.fori_loop(0, iterations, body, labels0)
+
+    return run
+
+
+_LP_CACHE = {}
+
+
+def labelprop_jax(indptr, dst, w=None, iterations=10, cache_key=None):
+    """Device label propagation over a CSR graph; returns int labels[n]
+    (label ids are node indices — canonicalization happens at the rule
+    layer)."""
+    jax, jnp = _jax()
+    n = len(indptr) - 1
+    e = len(dst)
+    n_pad = _pad_pow2(n + 1)
+    gran = max(_PR_CHUNK, _pad_pow2(max(e, 1)) // 16)
+    e_pad = ((max(e, 1) + gran - 1) // gran) * gran
+    staged = _GRAPH_DEV_CACHE.get(("lp", cache_key)) if cache_key else None
+    if staged is None:
+        dummy = n_pad - 1
+        src = np.repeat(np.arange(n, dtype=np.int32), np.diff(indptr))
+        order = np.argsort(dst, kind="stable")
+        src_by_dst = np.full(e_pad, dummy, dtype=np.int32)
+        src_by_dst[:e] = src[order]
+        dst_e = np.full(e_pad, dummy, dtype=np.int32)
+        dst_e[:e] = np.asarray(dst)[order]
+        w_by_dst = np.zeros(e_pad, dtype=np.float32)
+        if w is None:
+            w_by_dst[:e] = 1.0
+        else:
+            # negative weights would break the monotone-cumsum run totals
+            w_by_dst[:e] = np.maximum(np.asarray(w, dtype=np.float32)[order], 0.0)
+        # static per-dst segment end positions (last edge of each dst's
+        # in-segment); nodes with no in-edges keep their labels
+        counts = np.bincount(dst_e, minlength=n_pad)
+        ends = np.cumsum(counts) - 1  # [n_pad]
+        has_in = (counts > 0) & (np.arange(n_pad) < n)
+        end_pos = np.where(has_in, ends, 0).astype(np.int32)
+        staged = (
+            jnp.asarray(src_by_dst),
+            jnp.asarray(dst_e),
+            jnp.asarray(w_by_dst),
+            jnp.asarray(end_pos),
+            jnp.asarray(has_in),
+        )
+        if cache_key:
+            _dev_cache_put(("lp", cache_key), staged)
+    key = (n_pad, e_pad, iterations)
+    fn = _LP_CACHE.get(key)
+    if fn is None:
+        fn = _labelprop_compiled(n_pad, e_pad, iterations)
+        _LP_CACHE[key] = fn
+    labels = fn(*staged, np.int32(n))
+    return np.asarray(labels)[:n]

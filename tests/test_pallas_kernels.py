@@ -30,3 +30,49 @@ def test_knn_pallas_ip():
     truth = np.argsort(1 - q @ v.T, axis=1)[:, :k]
     for b in range(B):
         assert set(ids[b].tolist()) == set(truth[b].tolist())
+
+
+def test_device_label_propagation_partitions():
+    """Sort/scan LPA kernel: two cliques joined by one bridge edge must
+    resolve into two communities matching clique membership."""
+    import numpy as np
+
+    from cozo_tpu.ops.graph_algos import labelprop_jax
+
+    def clique_edges(nodes):
+        return [(u, v) for u in nodes for v in nodes if u != v]
+
+    a = list(range(0, 8))
+    b = list(range(8, 16))
+    edges = clique_edges(a) + clique_edges(b) + [(0, 8), (8, 0)]
+    src = np.array([e[0] for e in edges], dtype=np.int64)
+    dst = np.array([e[1] for e in edges], dtype=np.int64)
+    order = np.argsort(src, kind="stable")
+    src, dst = src[order], dst[order]
+    indptr = np.zeros(17, dtype=np.int64)
+    np.add.at(indptr, src + 1, 1)
+    indptr = np.cumsum(indptr)
+    labels = labelprop_jax(indptr, dst, iterations=10)
+    assert len(set(labels[:8])) == 1
+    assert len(set(labels[8:])) == 1
+    assert labels[0] != labels[8]
+
+
+def test_device_label_propagation_weighted():
+    """Weights steer the mode: node 2 hears label-0 with weight 5 and
+    label-1 with weight 1+1, so it must adopt node 0's label."""
+    import numpy as np
+
+    from cozo_tpu.ops.graph_algos import labelprop_jax
+
+    # edges into node 2: from 0 (w=5), from 1 (w=1), from 3 (w=1);
+    # 1 and 3 share a label after iteration 1?  keep it simpler: single round
+    edges = [(0, 2, 5.0), (1, 2, 1.0), (3, 2, 1.0)]
+    src = np.array([e[0] for e in edges])
+    dst = np.array([e[1] for e in edges])
+    w = np.array([e[2] for e in edges], dtype=np.float32)
+    indptr = np.zeros(5, dtype=np.int64)
+    np.add.at(indptr, src + 1, 1)
+    indptr = np.cumsum(indptr)
+    labels = labelprop_jax(indptr, dst, w=w, iterations=1)
+    assert labels[2] == labels[0]
