@@ -166,17 +166,25 @@ def encode_value(buf: bytearray, v: Any) -> None:
         return
     if t is Vector:
         buf.append(VEC_TAG)
-        a = v.a
+        a = np.ascontiguousarray(v.a)
+        # vectorized order-bit transform (bit-identical to the scalar
+        # _f32_order_bits/float_order_bits loops; ~100x faster per row)
         if a.dtype == np.float32:
             buf.append(1)
             buf.extend(_U32.pack(a.shape[0]))
-            for x in a:
-                buf.extend(struct.pack(">I", _f32_order_bits(float(x))))
+            u = a.view(np.uint32)
+            ob = np.where(u & 0x8000_0000, ~u, u | np.uint32(0x8000_0000))
+            buf.extend(ob.astype(">u4").tobytes())
         else:
             buf.append(2)
             buf.extend(_U32.pack(a.shape[0]))
-            for x in a:
-                buf.extend(_U64.pack(float_order_bits(float(x))))
+            u = a.view(np.uint64)
+            ob = np.where(
+                u & 0x8000_0000_0000_0000,
+                ~u,
+                u | np.uint64(0x8000_0000_0000_0000),
+            )
+            buf.extend(ob.astype(">u8").tobytes())
         return
     if t is Json:
         buf.append(JSON_TAG)
@@ -251,18 +259,24 @@ def decode_value(data: bytes, pos: int) -> Tuple[Any, int]:
         (n,) = _U32.unpack_from(data, pos)
         pos += 4
         if eltype == 1:
-            vals = np.empty(n, dtype=np.float32)
-            for i in range(n):
-                (k,) = struct.unpack_from(">I", data, pos)
-                pos += 4
-                vals[i] = _f32_from_bits(k)
-            return Vector(vals), pos
-        vals = np.empty(n, dtype=np.float64)
-        for i in range(n):
-            (k,) = _U64.unpack_from(data, pos)
-            pos += 8
-            vals[i] = bits_to_float(k)
-        return Vector(vals), pos
+            ob = np.frombuffer(data, dtype=">u4", count=n, offset=pos).astype(
+                np.uint32
+            )
+            pos += 4 * n
+            bits = np.where(
+                ob & 0x8000_0000, ob & np.uint32(0x7FFF_FFFF), ~ob
+            )
+            return Vector(bits.view(np.float32)), pos
+        ob = np.frombuffer(data, dtype=">u8", count=n, offset=pos).astype(
+            np.uint64
+        )
+        pos += 8 * n
+        bits = np.where(
+            ob & 0x8000_0000_0000_0000,
+            ob & np.uint64(0x7FFF_FFFF_FFFF_FFFF),
+            ~ob,
+        )
+        return Vector(bits.view(np.float64)), pos
     if tag == JSON_TAG:
         payload, pos = _dec_escaped(data, pos)
         return Json(_json.loads(payload.decode("utf-8"))), pos

@@ -145,6 +145,15 @@ def coerce_value(v: Any, t: Optional[ColType]):
                     f"vector length mismatch: expected {t.length}, got {len(v)}"
                 )
             return Vector(v.a.astype(dt), dtype=dt)
+        if isinstance(v, np.ndarray):
+            # embedding-API ergonomics: numpy params become vectors with a
+            # zero-copy-ish cast (bulk ingest path; reference accepts only
+            # list literals, data/relation.rs:84-103)
+            if v.ndim != 1 or v.shape[0] != t.length:
+                raise EvalError(
+                    f"vector shape mismatch: expected ({t.length},), got {v.shape}"
+                )
+            return Vector(v.astype(dt, copy=False), dtype=dt)
         if isinstance(v, list):
             if len(v) != t.length:
                 raise EvalError(

@@ -347,7 +347,17 @@ def cmp_key(v) -> tuple:
         return (T_SET, tuple(cmp_key(e) for e in v.items))
     if t is Vector:
         dt = 0 if v.a.dtype == np.float32 else 1
-        return (T_VEC, dt, tuple(float_order_bits(float(x)) for x in v.a))
+        # big-endian order-bit bytes: lexicographic byte order == elementwise
+        # IEEE total order, and building one bytes object is ~100x faster
+        # than a per-element Python tuple
+        a = np.ascontiguousarray(v.a.astype(np.float64, copy=False))
+        u = a.view(np.uint64)
+        ob = np.where(
+            u & 0x8000_0000_0000_0000,
+            ~u,
+            u | np.uint64(0x8000_0000_0000_0000),
+        )
+        return (T_VEC, dt, ob.astype(">u8").tobytes())
     if t is Json:
         return (T_JSON, v.canonical())
     if t is Validity:
@@ -383,6 +393,12 @@ def deep_freeze(v):
         return int(v)
     if isinstance(v, np.floating):
         return float(v)
+    if isinstance(v, np.ndarray):
+        # 1-D float arrays become vectors (bulk-ingest ergonomics); other
+        # arrays fall through to per-element freezing as lists
+        if v.ndim == 1 and v.dtype in (np.float32, np.float64):
+            return Vector(v, dtype=v.dtype.type)
+        return [deep_freeze(e) for e in v.tolist()]
     return v
 
 
