@@ -881,6 +881,36 @@ class LabelPropagation(FixedRule):
                 remap[l] = len(remap)
             out_put([remap[l], v])
 
+    def run_bulk(self, payload, poison):
+        """Bulk output lane for the device path: one distinct row per
+        vertex (see PageRank.run_bulk for the presorted contract)."""
+        undirected = payload.bool_option("undirected", False)
+        max_iter = payload.int_option("max_iter", 10)
+        indptr, dst, w, verts = _build_adj_w(payload, True)
+        n = len(verts)
+        if n == 0:
+            return [], True, True
+        if len(dst) < TPU_EDGE_THRESHOLD:
+            return None  # host sweep via run()
+        try:
+            from ..ops.graph_algos import graph_content_key, labelprop_jax
+
+            labels = labelprop_jax(
+                indptr, dst, w=w, iterations=max_iter,
+                cache_key=graph_content_key(indptr, dst),
+            )
+        except Exception:  # pragma: no cover — device fallback
+            return None
+        _check(poison)
+        # canonicalize label ids in first-seen order (vectorized: rank of
+        # each unique label's first occurrence)
+        _, idx_first, inv = np.unique(
+            labels, return_index=True, return_inverse=True
+        )
+        canon = np.argsort(np.argsort(idx_first))[inv]
+        rows = [[l, v] for l, v in zip(canon.tolist(), verts)]
+        return rows, True, False
+
 
 class MinimumSpanningTreePrim(FixedRule):
     """[src, dst, cost] (reference `algos/prim.rs`)."""
