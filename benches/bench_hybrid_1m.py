@@ -92,12 +92,21 @@ def main():
     el = (time.time() - t0) / reps
     emit("recursive_2hop", el, rows=len(out.rows))
 
-    # proximity graph (level-0 HNSW edges) -> device graph algorithms
-    pr_script = (
-        "edges[fr, to] := *item:ix{layer: 0, fr_id: fr, to_id: to}, fr != to\n"
-        "?[n, s] <~ PageRank(edges[])\n"
-        ":limit 10"
+    # proximity graph (level-0 HNSW edges) -> device graph algorithms.
+    # Materialized once into a stored relation (the reference's README
+    # example queries the idx relation the same way, README.md:52-54);
+    # `*prox[]` inputs then hit the int-pair CSR fast staging + the
+    # per-(relation,version) CSR cache + the device graph cache.
+    t0 = time.time()
+    db.run_script(":create prox {fr: Int, to: Int}")
+    db.run_script(
+        "?[fr, to] := *item:ix{layer: 0, fr_id: fr, to_id: to}, fr != to "
+        ":put prox {fr, to}"
     )
+    n_edges = db.run_script("?[count(fr)] := *prox{fr}").rows[0][0]
+    emit("proximity_materialize", time.time() - t0, edges=n_edges)
+
+    pr_script = "?[n, s] <~ PageRank(*prox[fr, to])\n:limit 10"
     t0 = time.time()
     out = db.run_script(pr_script)
     emit("proximity_pagerank_cold", time.time() - t0)
@@ -106,13 +115,15 @@ def main():
     emit("proximity_pagerank_warm", time.time() - t0)
 
     lp_script = (
-        "edges[fr, to] := *item:ix{layer: 0, fr_id: fr, to_id: to}, fr != to\n"
-        "?[l, n] <~ LabelPropagation(edges[], undirected: true)\n"
+        "?[l, n] <~ LabelPropagation(*prox[fr, to], undirected: true)\n"
         ":limit 10"
     )
     t0 = time.time()
     out = db.run_script(lp_script)
-    emit("proximity_labelprop", time.time() - t0)
+    emit("proximity_labelprop_cold", time.time() - t0)
+    t0 = time.time()
+    out = db.run_script(lp_script)
+    emit("proximity_labelprop_warm", time.time() - t0)
 
 
 if __name__ == "__main__":
