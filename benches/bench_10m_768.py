@@ -87,22 +87,41 @@ else:
 
 from cozo_tpu.ops.quant_knn import QuantSweepTable, quant_search
 
+_q_f = os.path.join(CACHE, "quant.npz")
 t0 = time.time()
-tbl = QuantSweepTable().load(data, "Cosine", chunk=131072)
-print(f"quantize+upload {time.time()-t0:.0f}s "
-      f"(device {tbl.n_chunks*tbl.chunk*tbl.d_pad/2**30:.1f} GiB int8)",
-      flush=True)
+tbl = QuantSweepTable()
+if os.path.exists(_q_f):
+    z = np.load(_q_f)
+    tbl.n, tbl.distance = N, "Cosine"
+    tbl.chunk, tbl.n_chunks, tbl.d_pad = (
+        int(z["chunk"]), int(z["n_chunks"]), int(z["d_pad"]))
+    import jax, jax.numpy as jnp
+    tbl.tbl = jax.device_put(jnp.asarray(
+        z["qp"].reshape(tbl.n_chunks, tbl.chunk, tbl.d_pad)))
+    tbl.scales = jax.device_put(jnp.asarray(
+        z["sp"].reshape(tbl.n_chunks, tbl.chunk)))
+    print(f"quantize (cached) + upload {time.time()-t0:.0f}s", flush=True)
+else:
+    tbl.load(data, "Cosine", chunk=131072, keep_host=True)
+    np.savez(_q_f, qp=tbl.host_qp, sp=tbl.host_sp,
+             chunk=tbl.chunk, n_chunks=tbl.n_chunks, d_pad=tbl.d_pad)
+    del tbl.host_qp, tbl.host_sp
+    print(f"quantize+upload {time.time()-t0:.0f}s "
+          f"(device {tbl.n_chunks*tbl.chunk*tbl.d_pad/2**30:.1f} GiB int8)",
+          flush=True)
 
-for of, rt in ((8, 0.95), (4, 0.95), (8, 0.85)):
-    ids, d = quant_search(data, tbl, qs[:B], K, overfetch=of, rt=rt)  # warm
+for of, rt, b in ((4, 0.95, 1024), (4, 0.95, 4096), (2, 0.95, 4096)):
+    qb = np.tile(qs, (b // NQ, 1)) if b > NQ else qs[:b]
+    ids, d = quant_search(data, tbl, qb, K, overfetch=of, rt=rt)  # warm
     t0 = time.time()
     reps = 4
     for _ in range(reps):
-        ids, d = quant_search(data, tbl, qs[:B], K, overfetch=of, rt=rt)
+        ids, d = quant_search(data, tbl, qb, K, overfetch=of, rt=rt)
     el = (time.time() - t0) / reps
+    nr = min(b, NQ)  # recall over the unique queries
     rec = np.mean([
-        len(set(ids[b].tolist()) & set(gt_i[b].tolist())) / K
-        for b in range(B)
+        len(set(ids[i].tolist()) & set(gt_i[i].tolist())) / K
+        for i in range(nr)
     ])
-    print(f"overfetch={of} rt={rt}: {B/el:,.0f} QPS, recall@10={rec:.4f}",
-          flush=True)
+    print(f"overfetch={of} rt={rt} B={b}: {b/el:,.0f} QPS, "
+          f"recall@10={rec:.4f}", flush=True)

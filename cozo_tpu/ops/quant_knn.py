@@ -126,7 +126,8 @@ class QuantSweepTable:
         return q, scale
 
     def load(self, vecs: np.ndarray, distance: str,
-             alive: Optional[np.ndarray] = None, chunk: Optional[int] = None):
+             alive: Optional[np.ndarray] = None, chunk: Optional[int] = None,
+             keep_host: bool = False):
         jax, jnp = _jx()
         n, d = vecs.shape
         self.n, self.distance = n, distance
@@ -148,6 +149,10 @@ class QuantSweepTable:
             jnp.asarray(qp.reshape(n_chunks, chunk, self.d_pad)))
         self.scales = jax.device_put(
             jnp.asarray(sp.reshape(n_chunks, chunk)))
+        if keep_host:
+            # callers that disk-cache the staging (bench reruns) keep the
+            # host copies; pulling 7+ GiB back through the relay is ~100s
+            self.host_qp, self.host_sp = qp, sp
         return self
 
     def quantize_queries(self, qs: np.ndarray):
