@@ -56,7 +56,7 @@ def main():
     t0 = time.time()
     db.run_script(
         f"::hnsw create item:ix {{dim: {D}, m: 16, dtype: F32, fields: [v], "
-        "distance: Cosine, ef_construction: 200}}"
+        "distance: Cosine, ef_construction: 200}"
     )
     emit("hnsw_ddl_bulk_build", time.time() - t0, n=N)
 

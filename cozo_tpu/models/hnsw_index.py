@@ -559,9 +559,22 @@ class HnswIndex:
                 from ..ops.bulk_build import bulk_build_device
 
                 return bulk_build_device(self, data, wave=max(wave, 2048))
-            except Exception:  # pragma: no cover — host fallback
+            except Exception as e:  # pragma: no cover — host fallback
                 if self.n > 0:
                     raise  # partial build — don't silently restart
+                import os as _os, sys as _sys, traceback as _tb
+
+                # the host wave path is ~100x slower at 1M scale: never
+                # swallow the reason silently, and let deployments opt out
+                # of the fallback entirely
+                _tb.print_exc(file=_sys.stderr)
+                print(
+                    f"# bulk_build: device path failed ({e!r}); "
+                    "falling back to host waves",
+                    file=_sys.stderr, flush=True,
+                )
+                if _os.environ.get("COZO_TPU_REQUIRE_DEVICE_BUILD") == "1":
+                    raise
         ef = self.ef_construction
         # seed wave: sequential
         slots = [self.insert(v) for v in data[:wave]]

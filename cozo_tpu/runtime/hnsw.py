@@ -269,7 +269,9 @@ def create_hnsw_index(db, cfg: A.HnswIndexConfig):
                 vecs.append(np.asarray(vec.a))
         if items:
             data = np.stack(vecs).astype(cache.index.dtype)
-            slots = cache.index.bulk_build(data, wave=2048)
+            # wave=8192 is the measured-fastest build config (BENCH_NOTES
+            # glove-1.18M); small backfills cap at the item count anyway
+            slots = cache.index.bulk_build(data, wave=8192)
             for (key_vals, fi), slot in zip(items, slots):
                 cache.key_to_slot[cache.item_key(key_vals, fi)] = slot
                 cache.slot_to_item[slot] = (key_vals, fi)
@@ -342,21 +344,20 @@ def _sync_dirty_to_kv(cache: HnswCache, tx, handle, idx_handle) -> None:
             store_tx.put(
                 idx_handle.encode_row_key(self_row), idx_handle.encode_row_val(self_row)
             )
-            for nb in index.neighbors[lvl][slot]:
-                nb = int(nb)
-                if nb < 0:
-                    continue
-                to_item = cache.slot_to_item.get(nb)
-                if to_item is None:
-                    continue
-                d = float(index.dists_to(index.vectors[slot], np.array([nb]))[0])
-                row = (
-                    [-lvl]
-                    + list(key_vals)
-                    + [field]
-                    + list(to_item[0])
-                    + [to_item[1], d]
-                )
+            nbs = [
+                nb
+                for nb in map(int, index.neighbors[lvl][slot])
+                if nb >= 0 and nb in cache.slot_to_item
+            ]
+            if not nbs:
+                continue
+            # one vectorized distance call per slot-level (a per-edge call
+            # costs ~30us of numpy dispatch; at 1M x m=16 that is minutes)
+            ds = index.dists_to(index.vectors[slot], np.asarray(nbs))
+            pre = [-lvl] + list(key_vals) + [field]
+            for nb, d in zip(nbs, ds.tolist()):
+                to_item = cache.slot_to_item[nb]
+                row = pre + list(to_item[0]) + [to_item[1], d]
                 store_tx.put(
                     idx_handle.encode_row_key(row), idx_handle.encode_row_val(row)
                 )
