@@ -184,7 +184,20 @@ def _build_step_fn(n_chunks: int, chunk: int, d_pad: int, W: int, P: int,
         count = jnp.zeros((W,), jnp.int32)
         sel = jnp.zeros((W, P), bool)
         _, _, sel = jax.lax.fori_loop(0, P, sel_body, (dominated, count, sel))
-        return tbl, bias, pool_ids, pool_d, sel
+        # pack (ids, dists-as-bits, sel) into ONE array: each np.asarray
+        # of a device output pays the relay's fixed per-pull latency
+        # (measured 1-5s), so three pulls per wave dominated build time
+        packed = jnp.concatenate(
+            [
+                pool_ids.astype(jnp.int32),
+                jax.lax.bitcast_convert_type(
+                    pool_d.astype(jnp.float32), jnp.int32
+                ),
+                sel.astype(jnp.int32),
+            ],
+            axis=1,
+        )
+        return tbl, bias, packed
 
     _STEP_FNS[key] = run
     return run
@@ -271,7 +284,7 @@ def bulk_build_device(index, data: np.ndarray, wave: int = 4096,
         step = _build_step_fn(
             n_chunks, chunk, d_pad, w_pad, P, m0, index.distance, 0.9
         )
-        st.tbl, st.bias, pool_ids_d, pool_d_d, sel_d = step(
+        st.tbl, st.bias, packed_d = step(
             st.tbl, st.bias, jnp.asarray(rows_w), jnp.asarray(bias_w),
             jnp.asarray(cs), jnp.asarray(rs),
             jnp.asarray(slots_p.astype(np.int32)),
@@ -279,9 +292,10 @@ def bulk_build_device(index, data: np.ndarray, wave: int = 4096,
         st.version = index.version
         st.n_slots = index.n
         index.sweep_pending.clear()
-        pool_ids = np.asarray(pool_ids_d)[:W].astype(np.int64)
-        pool_d = np.asarray(pool_d_d)[:W]
-        sel = np.asarray(sel_d)[:W]
+        packed = np.asarray(packed_d)[:W]  # single device pull per wave
+        pool_ids = packed[:, :P].astype(np.int64)
+        pool_d = np.ascontiguousarray(packed[:, P : 2 * P]).view(np.float32)
+        sel = packed[:, 2 * P :] != 0
         ph_sweep = time.time() - t_ph
         ph_select = 0.0
         t_ph = time.time()

@@ -275,7 +275,7 @@ def create_hnsw_index(db, cfg: A.HnswIndexConfig):
             for (key_vals, fi), slot in zip(items, slots):
                 cache.key_to_slot[cache.item_key(key_vals, fi)] = slot
                 cache.slot_to_item[slot] = (key_vals, fi)
-        _sync_dirty_to_kv(cache, tx, handle, idx_handle)
+        _sync_dirty_to_kv(cache, tx, handle, idx_handle, fresh=True)
         _bump_canary(tx, idx_handle, cfg.base_relation, cfg.index_name, cache)
         tx.commit()
         db.algo_cache[_cache_key(cfg.base_relation, cfg.index_name)] = cache
@@ -319,8 +319,13 @@ def _remove_item(cache: HnswCache, key_vals: list, field_idx: int) -> Optional[i
     return slot
 
 
-def _sync_dirty_to_kv(cache: HnswCache, tx, handle, idx_handle) -> None:
-    """Write adjacency of dirty slots to the KV image."""
+def _sync_dirty_to_kv(cache: HnswCache, tx, handle, idx_handle, fresh=False) -> None:
+    """Write adjacency of dirty slots to the KV image.
+
+    ``fresh=True`` (index backfill into an empty relation) skips the
+    per-slot delete scans: with a large write overlay each range_scan
+    walks the whole uncommitted overlay, which is O(rows^2) across a
+    million-slot sync."""
     index = cache.index
     store_tx = tx.store_tx_for(idx_handle)
     for slot in sorted(index.dirty):
@@ -331,12 +336,13 @@ def _sync_dirty_to_kv(cache: HnswCache, tx, handle, idx_handle) -> None:
         key_vals, field = item
         max_lvl = int(index.levels[slot]) if index.alive[slot] else -1
         for lvl in range(len(index.neighbors)):
-            # delete old rows for this fr at this level
-            prefix = [-lvl] + list(key_vals) + [field]
-            lower = idx_handle.encode_row_key(prefix)
-            upper = lower + b"\xff" * 9
-            for k, _ in list(store_tx.range_scan(lower, upper)):
-                store_tx.delete(k)
+            if not fresh:
+                # delete old rows for this fr at this level
+                prefix = [-lvl] + list(key_vals) + [field]
+                lower = idx_handle.encode_row_key(prefix)
+                upper = lower + b"\xff" * 9
+                for k, _ in list(store_tx.range_scan(lower, upper)):
+                    store_tx.delete(k)
             if not index.alive[slot] or lvl > max_lvl:
                 continue
             # self-edge marks membership
