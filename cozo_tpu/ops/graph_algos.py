@@ -391,10 +391,20 @@ _LP_CACHE = {}
 def labelprop_jax(indptr, dst, w=None, iterations=10, cache_key=None):
     """Device label propagation over a CSR graph; returns int labels[n]
     (label ids are node indices — canonicalization happens at the rule
-    layer)."""
+    layer).
+
+    Dispatch: degree-bounded graphs (max in-degree <= LP_DENSE_DMAX,
+    e.g. HNSW proximity graphs where construction caps degree at
+    m_max0) use the dense padded-neighbor kernel; unbounded/power-law
+    graphs use the sort/scan kernel."""
     jax, jnp = _jax()
     n = len(indptr) - 1
     e = len(dst)
+    in_deg = np.bincount(np.asarray(dst), minlength=n)
+    if in_deg.max(initial=0) <= LP_DENSE_DMAX:
+        return _labelprop_dense(
+            indptr, dst, w, iterations, cache_key, in_deg, n, e
+        )
     n_pad = _pad_pow2(n + 1)
     gran = max(_PR_CHUNK, _pad_pow2(max(e, 1)) // 16)
     e_pad = ((max(e, 1) + gran - 1) // gran) * gran
@@ -433,5 +443,95 @@ def labelprop_jax(indptr, dst, w=None, iterations=10, cache_key=None):
     if fn is None:
         fn = _labelprop_compiled(n_pad, e_pad, iterations)
         _LP_CACHE[key] = fn
+    labels = fn(*staged, np.int32(n))
+    return np.asarray(labels)[:n]
+
+
+def _labelprop_dense_compiled(n_pad: int, dmax: int, iterations: int,
+                              blk: int):
+    """Dense bounded-degree label propagation: for graphs whose max
+    in-degree fits a padded [n, dmax] neighbor array (HNSW proximity
+    graphs are degree-bounded by construction, m_max0), the weighted
+    mode per node is a gather + an O(dmax^2) per-row comparison — no
+    sort.  ~100x faster than the sort/scan kernel at 25M-edge scale
+    (TPU sorts are bitonic; a 50M-element multi-operand sort costs
+    ~100s/iteration through the relay).
+
+    Ties pick the smallest label (exact: min over argmax-weight set)."""
+    jax, jnp = _jax()
+    n_blocks = n_pad // blk
+    BIG = jnp.int32(2**31 - 1)
+
+    @jax.jit
+    def run(nb, w, has_in, n_real):
+        # nb [n_pad, dmax] int32 (pad rows point at n_pad-1, w=0)
+        nbb = nb.reshape(n_blocks, blk, dmax)
+        wb = w.reshape(n_blocks, blk, dmax)
+
+        def body(_, labels):
+            def blk_fn(carry, xs):
+                nb_b, w_b = xs
+                L = labels[nb_b]  # [blk, dmax]
+                eq = (L[:, :, None] == L[:, None, :]).astype(jnp.float32)
+                # wsum[b, d] = total weight of label L[b, d] among b's
+                # in-neighbors
+                wsum = jnp.einsum("bdq,bq->bd", eq, w_b)
+                valid = w_b > 0
+                wsum = jnp.where(valid, wsum, -jnp.inf)
+                maxw = jnp.max(wsum, axis=1, keepdims=True)
+                cand = jnp.where(wsum == maxw, L, BIG)
+                return carry, jnp.min(cand, axis=1)
+
+            _, out = jax.lax.scan(blk_fn, None, (nbb, wb))
+            picked = out.reshape(n_pad)
+            return jnp.where(
+                has_in & (jnp.arange(n_pad) < n_real), picked, labels
+            ).astype(jnp.int32)
+
+        labels0 = jnp.arange(n_pad, dtype=jnp.int32)
+        return jax.lax.fori_loop(0, iterations, body, labels0)
+
+    return run
+
+
+_LP_DENSE_CACHE = {}
+LP_DENSE_DMAX = 128
+
+
+def _labelprop_dense(indptr, dst, w, iterations, cache_key, in_deg, n, e):
+    jax, jnp = _jax()
+    n_pad = _pad_pow2(n + 1)
+    dmax = int(1 << max(3, int(np.ceil(np.log2(max(in_deg.max(), 1))))))
+    blk = min(n_pad, 65536)
+    staged = _GRAPH_DEV_CACHE.get(("lpd", cache_key)) if cache_key else None
+    if staged is None:
+        dummy = n_pad - 1
+        src = np.repeat(np.arange(n, dtype=np.int32), np.diff(indptr))
+        order = np.argsort(dst, kind="stable")
+        src_s = src[order]
+        dst_s = np.asarray(dst)[order].astype(np.int64)
+        in_ptr = np.zeros(n + 1, dtype=np.int64)
+        cnt = np.bincount(dst_s, minlength=n)
+        in_ptr[1:] = np.cumsum(cnt)
+        pos = np.arange(e, dtype=np.int64) - in_ptr[dst_s]
+        nb = np.full((n_pad, dmax), dummy, dtype=np.int32)
+        wq = np.zeros((n_pad, dmax), dtype=np.float32)
+        nb[dst_s, pos] = src_s
+        if w is None:
+            wq[dst_s, pos] = 1.0
+        else:
+            wq[dst_s, pos] = np.maximum(
+                np.asarray(w, dtype=np.float32)[order], 0.0
+            )
+        has_in = np.zeros(n_pad, dtype=bool)
+        has_in[:n] = cnt > 0
+        staged = (jnp.asarray(nb), jnp.asarray(wq), jnp.asarray(has_in))
+        if cache_key:
+            _dev_cache_put(("lpd", cache_key), staged)
+    key = (n_pad, dmax, iterations, blk)
+    fn = _LP_DENSE_CACHE.get(key)
+    if fn is None:
+        fn = _labelprop_dense_compiled(n_pad, dmax, iterations, blk)
+        _LP_DENSE_CACHE[key] = fn
     labels = fn(*staged, np.int32(n))
     return np.asarray(labels)[:n]

@@ -76,3 +76,53 @@ def test_device_label_propagation_weighted():
     indptr = np.cumsum(indptr)
     labels = labelprop_jax(indptr, dst, w=w, iterations=1)
     assert labels[2] == labels[0]
+
+
+def test_label_propagation_sort_path_hub():
+    """A >128-in-degree hub forces the sort/scan kernel; partition must
+    still resolve (hub + spokes adopt one label)."""
+    import numpy as np
+
+    from cozo_tpu.ops.graph_algos import labelprop_jax
+
+    # star: 200 spokes all pointing at node 0, node 0 points back
+    edges = [(i, 0) for i in range(1, 201)] + [(0, i) for i in range(1, 201)]
+    src = np.array([e[0] for e in edges])
+    dst = np.array([e[1] for e in edges])
+    order = np.argsort(src, kind="stable")
+    src, dst = src[order], dst[order]
+    indptr = np.zeros(202, dtype=np.int64)
+    np.add.at(indptr, src + 1, 1)
+    indptr = np.cumsum(indptr)
+    labels = labelprop_jax(indptr, dst, iterations=6)
+    # synchronous LPA two-colors a star (hub/spokes oscillate — inherent
+    # to sync updates); all spokes must share one label
+    assert len(set(labels[1:].tolist())) == 1
+    assert len(set(labels.tolist())) <= 2
+
+
+def test_label_propagation_dense_matches_sort():
+    """Dense and sort kernels must produce identical labels on the same
+    bounded-degree graph (dense is the dispatch default there)."""
+    import numpy as np
+
+    from cozo_tpu.ops import graph_algos as G
+
+    rng = np.random.default_rng(5)
+    n, deg = 400, 6
+    src = np.repeat(np.arange(n), deg)
+    dst = (src + rng.integers(1, 40, len(src))) % n
+    order = np.argsort(src, kind="stable")
+    src, dst = src[order], dst[order]
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.add.at(indptr, src + 1, 1)
+    indptr = np.cumsum(indptr)
+    in_deg = np.bincount(dst, minlength=n)
+    dense = G._labelprop_dense(indptr, dst, None, 5, None, in_deg, n, len(dst))
+    saved = G.LP_DENSE_DMAX
+    try:
+        G.LP_DENSE_DMAX = -1  # force sort path
+        srt = G.labelprop_jax(indptr, dst, iterations=5)
+    finally:
+        G.LP_DENSE_DMAX = saved
+    assert (dense == srt).all()
