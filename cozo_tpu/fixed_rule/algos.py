@@ -723,9 +723,110 @@ class BetweennessCentrality(FixedRule):
             out_put([v, float(centrality[i])])
 
 
+def _louvain_vectorized(indptr, dst, w, max_iter, delta, poison):
+    """Parallel-sweep Louvain over numpy edge arrays (sort + reduceat
+    segment sums), the scale path for million-node proximity graphs
+    where the dict-of-dicts sweep's per-edge Python cost is hours.
+
+    Each round computes every node's best neighbor community against the
+    round-start assignment and applies all improving moves at once
+    (Grappolo-style synchronous moving; same modularity objective as the
+    sequential sweep, different move order).  Returns the same
+    levels structure as the sequential path."""
+    n = len(indptr) - 1
+    base_u = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+    u, v = base_u, np.asarray(dst, dtype=np.int64)
+    ww = np.asarray(w, dtype=np.float64)
+    levels: List[np.ndarray] = []
+    while True:
+        _check(poison)
+        nn = int(max(u.max(initial=-1), v.max(initial=-1)) + 1) if len(u) else 0
+        if nn == 0 or ww.sum() == 0:
+            break
+        m2 = ww.sum()
+        k = np.bincount(u, weights=ww, minlength=nn)
+        comm = np.arange(nn, dtype=np.int64)
+        tot = k.copy()
+        improved_any = False
+        quiet = 0
+        for rnd in range(2 * max_iter):
+            _check(poison)
+            # segment sums of edge weight by (u, comm[v]), self-edges out
+            mask = u != v
+            key = u[mask] * nn + comm[v[mask]]
+            order = np.argsort(key, kind="stable")
+            ks, ws = key[order], ww[mask][order]
+            if len(ks) == 0:
+                break
+            starts = np.nonzero(
+                np.concatenate([[True], ks[1:] != ks[:-1]])
+            )[0]
+            sums = np.add.reduceat(ws, starts)
+            gu = ks[starts] // nn
+            gc = ks[starts] % nn
+            # gain of moving gu into gc, with k[gu] taken out of its own
+            # community's total (mirrors the sequential sweep's
+            # tot[cu] -= k[u] bookkeeping)
+            tot_adj = tot[gc] - np.where(gc == comm[gu], k[gu], 0.0)
+            gain = sums - tot_adj * k[gu] / m2
+            # per-node argmax: sort by (node, -gain) is avoidable — use
+            # reduceat over the node-grouped candidate list
+            nstarts = np.nonzero(
+                np.concatenate([[True], gu[1:] != gu[:-1]])
+            )[0]
+            best_gain = np.maximum.reduceat(gain, nstarts)
+            # pick the (first) community achieving the max per node
+            grp_of = np.repeat(
+                np.arange(len(nstarts)), np.diff(np.append(nstarts, len(gu)))
+            )
+            is_best = gain == best_gain[grp_of]
+            # earliest best index per group -> smallest community id wins
+            idx = np.where(is_best, np.arange(len(gu)), np.iinfo(np.int64).max)
+            best_pos = np.minimum.reduceat(idx, nstarts)
+            node_of = gu[nstarts]
+            new_comm = comm.copy()
+            movers = best_gain > delta
+            # alternate move parity across rounds: synchronous moving
+            # lets symmetric pairs swap communities forever; letting only
+            # even/odd nodes move per round breaks the cycles (standard
+            # parallel-Louvain device trick)
+            movers &= (node_of % 2) == (rnd % 2)
+            new_comm[node_of[movers]] = gc[best_pos[movers]]
+            if (new_comm == comm).all():
+                quiet += 1
+                if quiet >= 2:  # both parities settled
+                    break
+                continue
+            quiet = 0
+            improved_any = True
+            comm = new_comm
+            tot = np.bincount(comm, weights=k, minlength=nn)
+        if not improved_any:
+            break
+        # renumber communities densely (first-seen order like the
+        # sequential path's remap)
+        _, idx_first, inv = np.unique(comm, return_index=True, return_inverse=True)
+        comm = np.argsort(np.argsort(idx_first))[inv]
+        levels.append(comm)
+        nc = int(comm.max() + 1)
+        if nc == nn:
+            break
+        # aggregate: edges between communities, weights summed
+        cu, cv = comm[u], comm[v]
+        key = cu * nc + cv
+        order = np.argsort(key, kind="stable")
+        ks, ws = key[order], ww[order]
+        starts = np.nonzero(np.concatenate([[True], ks[1:] != ks[:-1]]))[0]
+        ww = np.add.reduceat(ws, starts)
+        u = ks[starts] // nc
+        v = ks[starts] % nc
+    return levels
+
+
 class CommunityDetectionLouvain(FixedRule):
     """[List(labels per level), node] — multi-level modularity optimization
-    (reference `algos/louvain.rs`)."""
+    (reference `algos/louvain.rs`).  Inputs above 200K edges use the
+    vectorized parallel-sweep variant (`_louvain_vectorized`)."""
 
     name = "CommunityDetectionLouvain"
 
@@ -739,6 +840,20 @@ class CommunityDetectionLouvain(FixedRule):
         keep_depth = payload.int_option("keep_depth", None)
         indptr, dst, w, verts = _build_adj_w(payload, True)
         n = len(verts)
+        if len(dst) >= 200_000:
+            levels_np = _louvain_vectorized(
+                indptr, dst, w, max_iter, delta, poison
+            )
+            for i, vtx in enumerate(verts):
+                labels = []
+                cur = i
+                for lvl in levels_np:
+                    cur = int(lvl[cur])
+                    labels.append(cur)
+                if keep_depth is not None:
+                    labels = labels[-keep_depth:]
+                out_put([labels, vtx])
+            return
         # adjacency as dict-of-dicts for merging
         adj: List[Dict[int, float]] = [dict() for _ in range(n)]
         for u in range(n):

@@ -126,3 +126,32 @@ def test_label_propagation_dense_matches_sort():
     finally:
         G.LP_DENSE_DMAX = saved
     assert (dense == srt).all()
+
+
+def test_vectorized_louvain_through_db():
+    """>200K edges routes Louvain to the vectorized parallel sweep; planted
+    communities must resolve through the full engine."""
+    import numpy as np
+
+    from cozo_tpu.runtime.db import Db
+
+    rng = np.random.default_rng(4)
+    n_c, sz = 4, 120
+    rows = []
+    for c in range(n_c):
+        b = c * sz
+        e = rng.integers(0, sz, (sz * 240, 2))
+        rows += [[int(b + x), int(b + y)] for x, y in e if x != y]
+    assert len(rows) >= 200_000 // 2  # undirected doubling crosses 200K
+    db = Db("mem")
+    db.run_script(":create e {f: Int, t: Int}")
+    for s in range(0, len(rows), 50000):
+        db.run_script("?[f, t] <- $r :put e {f, t}", {"r": rows[s:s+50000]})
+    out = db.run_script(
+        "?[l, n] <~ CommunityDetectionLouvain(*e[f, t], undirected: true)"
+    )
+    lab = {r[1]: tuple(r[0]) for r in out.rows}
+    import collections
+    for c in range(n_c):
+        cnt = collections.Counter(lab[c * sz + i] for i in range(sz))
+        assert cnt.most_common(1)[0][1] > sz * 0.9
