@@ -205,21 +205,15 @@ def pagerank(indptr, dst, theta=0.85, epsilon=1e-4, iterations=10, use_tpu=False
 _SSSP_CACHE = {}
 
 
-def _sssp_compiled(n_pad: int, e_pad: int, max_iters: int):
+def _sssp_compiled_scatter(n_pad: int, e_pad: int, max_iters: int):
+    """Edge-chunked Bellman-Ford with `segment_min` (lowers to TPU
+    scatter-min).  Kept for very large edge lists: the scatter-free scan
+    kernel below generates a ~27-stage associative-scan program at 69M
+    elements that OOMs the AOT compiler."""
     jax, jnp = _jax()
 
     @jax.jit
     def run(src, dst, w, dist0):
-        """src/dst [E]; w [E]; dist0 [S, n_pad] → (dist, parent [S, n_pad]).
-
-        Edge-parallel relaxation: every iteration relaxes ALL edges for ALL
-        sources at once (segment-min over the edge axis) — the spMV-style
-        dual of Dijkstra that maps onto the VPU, converging in diameter
-        iterations (SURVEY.md §7.5: delta-stepping/Bellman-Ford relaxations
-        instead of a binary heap)."""
-
-        S = dist0.shape[0]
-
         def cond(state):
             i, dist, parent, changed = state
             return jnp.logical_and(i < max_iters, changed)
@@ -240,7 +234,6 @@ def _sssp_compiled(n_pad: int, e_pad: int, max_iters: int):
                     lambda c: jax.ops.segment_min(c, d, num_segments=n_pad)
                 )(cand)
                 achieves = cand <= cd[:, d]
-                # witness = source of some edge achieving the chunk minimum
                 wit = jax.vmap(
                     lambda a: jax.ops.segment_max(
                         jnp.where(a, s, -1), d, num_segments=n_pad
@@ -253,9 +246,7 @@ def _sssp_compiled(n_pad: int, e_pad: int, max_iters: int):
                 ), None
 
             (new_dist, new_parent), _ = jax.lax.scan(
-                chunk_step,
-                (dist, parent),
-                (src_c, dst_c, w_c),
+                chunk_step, (dist, parent), (src_c, dst_c, w_c)
             )
             improved = new_dist < dist
             new_parent = jnp.where(improved, new_parent, parent)
@@ -267,6 +258,87 @@ def _sssp_compiled(n_pad: int, e_pad: int, max_iters: int):
             cond, body, (jnp.int32(0), dist0, parent0, jnp.bool_(True))
         )
         return dist, parent
+
+    return run
+
+
+# The scatter-free scan kernel is ~2x faster steady-state (0.8s vs 1.7s
+# warm at 4M edges) but its log2(E)-stage associative-scan program costs
+# minutes of AOT compile (972s at 4M) and OOMs the compiler at 69M, so
+# the scatter kernel is the default; opt in with COZO_TPU_SSSP_SCAN=1
+# for repeated-serving workloads on a warmed compile cache.
+SSSP_SCAN_MAX_EDGES = 1 << 24
+
+
+def _sssp_use_scan(e_pad: int) -> bool:
+    import os as _os
+
+    if _os.environ.get("COZO_TPU_SSSP_SCAN") != "1":
+        return False
+    return e_pad <= SSSP_SCAN_MAX_EDGES
+
+
+def _sssp_compiled(n_pad: int, e_pad: int, max_iters: int):
+    """Edge-parallel Bellman-Ford relaxation, scatter-free.
+
+    Edges are staged sorted by destination; the per-node minimum over
+    incoming candidates is a segmented associative min scan evaluated at
+    the (static) segment-end positions — gathers and scans only.  The
+    previous formulation used `jax.ops.segment_min`, which lowers to a
+    TPU scatter-min (serializing; measured ~100x slower than streaming
+    ops at 69M edges).  Parents are recovered AFTER convergence in one
+    extra pass (a converged dist[v] exactly equals its best incoming
+    candidate, so equality is bitwise)."""
+    jax, jnp = _jax()
+
+    @jax.jit
+    def run(src_by_dst, dst_e, w_e, end_pos, has_in, dist0):
+        inf = jnp.float32(jnp.inf)
+        seg_start = jnp.concatenate(
+            [jnp.ones((1,), bool), dst_e[1:] != dst_e[:-1]]
+        )
+
+        def comb_min(a, b):
+            av, af = a
+            bv, bf = b
+            return (jnp.where(bf, bv, jnp.minimum(av, bv)), af | bf)
+
+        def comb_max(a, b):
+            av, af = a
+            bv, bf = b
+            return (jnp.where(bf, bv, jnp.maximum(av, bv)), af | bf)
+
+        def seg_min_per_node(dist_s):
+            cand = dist_s[src_by_dst] + w_e  # [E]
+            m, _ = jax.lax.associative_scan(comb_min, (cand, seg_start))
+            return m[end_pos]  # [n_pad], valid where has_in
+
+        def cond(state):
+            i, dist, changed = state
+            return jnp.logical_and(i < max_iters, changed)
+
+        def body(state):
+            i, dist, _ = state
+            seg = jax.vmap(seg_min_per_node)(dist)
+            new_dist = jnp.where(has_in[None, :], jnp.minimum(dist, seg), dist)
+            return i + 1, new_dist, jnp.any(new_dist < dist)
+
+        _, dist, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), dist0, jnp.bool_(True))
+        )
+
+        def parent_for(dist_s):
+            cand = dist_s[src_by_dst] + w_e
+            ok = (cand == dist_s[dst_e]) & jnp.isfinite(cand)
+            wit = jnp.where(ok, src_by_dst, -1)
+            m, _ = jax.lax.associative_scan(comb_max, (wit, seg_start))
+            par = m[end_pos]
+            return jnp.where(has_in & jnp.isfinite(dist_s), par, -1)
+
+        parent = jax.vmap(parent_for)(dist)
+        # sources themselves have no parent
+        parent = jnp.where(dist0 == 0.0, -1, parent)
+        return dist, parent.astype(jnp.int32)
 
     return run
 
@@ -285,27 +357,54 @@ def sssp_device(indptr, dst, w, sources, max_iters: int = 512, cache_key=None):
     else:
         gran = max(4096, _pad_pow2(max(e, 1)) // 16)
         e_pad = ((max(e, 1) + gran - 1) // gran) * gran
-    staged = _GRAPH_DEV_CACHE.get(("sssp", cache_key)) if cache_key else None
+    use_scan = _sssp_use_scan(e_pad)
+    tag = "sssp2" if use_scan else "sssp"
+    staged = _GRAPH_DEV_CACHE.get((tag, cache_key)) if cache_key else None
     if staged is None:
         dummy = n_pad - 1
         src = np.repeat(np.arange(n, dtype=np.int32), np.diff(indptr))
-        src_p = np.full(e_pad, dummy, dtype=np.int32)
-        dst_p = np.full(e_pad, dummy, dtype=np.int32)
-        w_p = np.full(e_pad, np.inf, dtype=np.float32)
-        src_p[:e] = src
-        dst_p[:e] = dst
-        w_p[:e] = w
-        staged = (jnp.asarray(src_p), jnp.asarray(dst_p), jnp.asarray(w_p))
+        if use_scan:
+            order = np.argsort(dst, kind="stable")
+            src_p = np.full(e_pad, dummy, dtype=np.int32)
+            dst_p = np.full(e_pad, dummy, dtype=np.int32)
+            w_p = np.full(e_pad, np.inf, dtype=np.float32)
+            src_p[:e] = src[order]
+            dst_p[:e] = np.asarray(dst)[order]
+            w_p[:e] = np.asarray(w, dtype=np.float32)[order]
+            counts = np.bincount(dst_p, minlength=n_pad)
+            ends = np.cumsum(counts) - 1
+            has_in = (counts > 0) & (np.arange(n_pad) < n)
+            end_pos = np.where(has_in, ends, 0).astype(np.int32)
+            staged = (
+                jnp.asarray(src_p),
+                jnp.asarray(dst_p),
+                jnp.asarray(w_p),
+                jnp.asarray(end_pos),
+                jnp.asarray(has_in),
+            )
+        else:
+            src_p = np.full(e_pad, dummy, dtype=np.int32)
+            dst_p = np.full(e_pad, dummy, dtype=np.int32)
+            w_p = np.full(e_pad, np.inf, dtype=np.float32)
+            src_p[:e] = src
+            dst_p[:e] = dst
+            w_p[:e] = w
+            staged = (
+                jnp.asarray(src_p),
+                jnp.asarray(dst_p),
+                jnp.asarray(w_p),
+            )
         if cache_key:
-            _dev_cache_put(("sssp", cache_key), staged)
+            _dev_cache_put((tag, cache_key), staged)
     S = len(sources)
     dist0 = np.full((S, n_pad), np.inf, dtype=np.float32)
     for i, s in enumerate(sources):
         dist0[i, s] = 0.0
-    key = (n_pad, e_pad, max_iters)
+    key = (n_pad, e_pad, max_iters, use_scan)
     fn = _SSSP_CACHE.get(key)
     if fn is None:
-        fn = _sssp_compiled(n_pad, e_pad, max_iters)
+        mk = _sssp_compiled if use_scan else _sssp_compiled_scatter
+        fn = mk(n_pad, e_pad, max_iters)
         _SSSP_CACHE[key] = fn
     dist, parent = fn(*staged, jnp.asarray(dist0))
     return (

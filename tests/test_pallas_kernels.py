@@ -155,3 +155,62 @@ def test_vectorized_louvain_through_db():
     for c in range(n_c):
         cnt = collections.Counter(lab[c * sz + i] for i in range(sz))
         assert cnt.most_common(1)[0][1] > sz * 0.9
+
+
+def test_sssp_device_matches_dijkstra():
+    """Scatter-free segmented-scan Bellman-Ford vs host Dijkstra: exact
+    distances and valid parent tree."""
+    import heapq
+
+    import numpy as np
+
+    from cozo_tpu.ops.graph_algos import sssp_device
+
+    rng = np.random.default_rng(11)
+    n, deg = 300, 5
+    src = np.repeat(np.arange(n, dtype=np.int64), deg)
+    dst = rng.integers(0, n, len(src))
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    w = rng.uniform(0.5, 4.0, len(src)).astype(np.float32)
+    order = np.argsort(src, kind="stable")
+    src, dst, w = src[order], dst[order], w[order]
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.add.at(indptr, src + 1, 1)
+    indptr = np.cumsum(indptr)
+
+    import os
+
+    os.environ["COZO_TPU_SSSP_SCAN"] = "1"
+    try:
+        dists, parents = sssp_device(indptr, dst, w, [0, 17])
+    finally:
+        del os.environ["COZO_TPU_SSSP_SCAN"]
+    # default (scatter) kernel must agree
+    d2, p2 = sssp_device(indptr, dst, w, [0, 17])
+    assert np.allclose(dists, d2, atol=1e-5)
+
+    adj = [[] for _ in range(n)]
+    for s, d, ww in zip(src, dst, w):
+        adj[s].append((int(d), float(ww)))
+    for si, s0 in enumerate([0, 17]):
+        ref = np.full(n, np.inf)
+        ref[s0] = 0.0
+        pq = [(0.0, s0)]
+        while pq:
+            du, u = heapq.heappop(pq)
+            if du > ref[u]:
+                continue
+            for v2, ww in adj[u]:
+                if du + ww < ref[v2]:
+                    ref[v2] = du + ww
+                    heapq.heappush(pq, (du + ww, v2))
+        assert np.allclose(dists[si], ref, atol=1e-4), si
+        # parent tree consistency: dist[v] == dist[parent] + w(parent, v)
+        for v2 in range(n):
+            p = int(parents[si][v2])
+            if p < 0:
+                continue
+            wmin = min((ww for d2, ww in adj[p] if d2 == v2), default=None)
+            assert wmin is not None
+            assert abs(dists[si][p] + wmin - dists[si][v2]) < 1e-4
