@@ -110,7 +110,8 @@ else:
           f"(device {tbl.n_chunks*tbl.chunk*tbl.d_pad/2**30:.1f} GiB int8)",
           flush=True)
 
-for of, rt, b in ((4, 0.95, 1024), (4, 0.95, 4096), (2, 0.95, 4096)):
+for of, rt, b in ((2, 0.95, 4096), (1, 0.95, 4096), (2, 0.95, 8192),
+                  (2, 0.95, 16384)):
     qb = np.tile(qs, (b // NQ, 1)) if b > NQ else qs[:b]
     ids, d = quant_search(data, tbl, qb, K, overfetch=of, rt=rt)  # warm
     t0 = time.time()
