@@ -515,6 +515,9 @@ def compile_hnsw_search(db, atom, binding_map, ctx, handle, meta):
             fresh = [(i, p) for i, (kk, p) in enumerate(spec) if kk == FRESH]
             from ..data.value import value_eq
 
+            # batch the base-row point lookups (one multi_get round trip;
+            # the per-row get paid full RPC latency on the remote engine)
+            cand = []
             for b, env in enumerate(envs):
                 for j in range(ids.shape[1]):
                     slot = int(ids[b, j])
@@ -526,31 +529,33 @@ def compile_hnsw_search(db, atom, binding_map, ctx, handle, meta):
                     item = cache.slot_to_item.get(slot)
                     if item is None:
                         continue
-                    key_vals, field_idx = item
-                    row = handle.get_row(store_tx, key_vals)
-                    if row is None:
-                        continue
-                    if filter_expr is not None and filter_expr.eval(row) is not True:
-                        continue
-                    ok = True
-                    for i, (kk, v) in post:
-                        want = v if kk == CONST else env[v]
-                        if not value_eq(row[i], want):
-                            ok = False
-                            break
-                    if not ok:
-                        continue
-                    new_env = env + tuple(row[i] for i, _ in fresh)
-                    ext_vals = [
-                        d,
-                        fields[field_idx],
-                        field_idx,
-                        Vector(index.vectors[slot].copy(), dtype=index.dtype),
-                    ]
-                    for pos, val in zip(extra_binds, ext_vals):
-                        if pos is not None:
-                            new_env = new_env + (val,)
-                    out.append(new_env)
+                    cand.append((b, env, slot, d, item))
+            rows_b = handle.get_rows(store_tx, [c[4][0] for c in cand])
+            for (b, env, slot, d, item), row in zip(cand, rows_b):
+                if row is None:
+                    continue
+                field_idx = item[1]
+                if filter_expr is not None and filter_expr.eval(row) is not True:
+                    continue
+                ok = True
+                for i, (kk, v) in post:
+                    want = v if kk == CONST else env[v]
+                    if not value_eq(row[i], want):
+                        ok = False
+                        break
+                if not ok:
+                    continue
+                new_env = env + tuple(row[i] for i, _ in fresh)
+                ext_vals = [
+                    d,
+                    fields[field_idx],
+                    field_idx,
+                    Vector(index.vectors[slot].copy(), dtype=index.dtype),
+                ]
+                for pos, val in zip(extra_binds, ext_vals):
+                    if pos is not None:
+                        new_env = new_env + (val,)
+                out.append(new_env)
             return out
 
     return HnswSearchStep()

@@ -248,6 +248,21 @@ class RelationHandle:
             row.extend(decode_tuple(v))
         return row
 
+    def get_rows(self, tx: StoreTx, key_vals_list) -> List[Optional[List[Any]]]:
+        """Batched point lookups: one `multi_get` (a single round trip on
+        the remote engine) instead of N gets."""
+        keys = [encode_key(self.id, kv) for kv in key_vals_list]
+        out: List[Optional[List[Any]]] = []
+        for kv, v in zip(key_vals_list, tx.multi_get(keys)):
+            if v is None:
+                out.append(None)
+                continue
+            row = list(kv)
+            if v:
+                row.extend(decode_tuple(v))
+            out.append(row)
+        return out
+
     def exists(self, tx: StoreTx, key_vals) -> bool:
         return tx.exists(encode_key(self.id, key_vals))
 

@@ -40,7 +40,7 @@ from .base import ConflictError, StorageError, Storage, StoreTx
 # body  = concatenation of fields; bytes fields are u32-length-prefixed
 
 OP_OPEN, OP_GET, OP_SCAN, OP_COUNT, OP_COMMIT, OP_ABORT = 1, 2, 3, 4, 5, 6
-OP_DELRANGE, OP_BATCHPUT, OP_COMPACT, OP_SEEK1 = 7, 8, 9, 10
+OP_DELRANGE, OP_BATCHPUT, OP_COMPACT, OP_SEEK1, OP_MGET = 7, 8, 9, 10, 11
 
 ST_OK, ST_CONFLICT, ST_ERR = 0, 1, 2
 
@@ -143,6 +143,29 @@ class RemoteTx(StoreTx):
         if for_update and self.read_fps is not None:
             self.read_fps.setdefault(key, _fp(val))
         return val
+
+    def multi_get(self, keys) -> list:
+        keys = list(keys)
+        if not keys:
+            return []
+        # one round trip for the whole batch (the per-key get pays the
+        # full RPC latency each time — the reference's tikv engine has
+        # the same batch-vs-point asymmetry)
+        w = _Wire().put_u64(self.txid).put_u64(len(keys))
+        for k in keys:
+            w.put_bytes(k)
+        resp = _Wire(self.store._call(OP_MGET, bytes(w.buf)))
+        out = []
+        for k in keys:
+            if self.overlay is not None and k in self.overlay:
+                # overlay wins; still consume the wire slot
+                present = resp.get_u8()
+                if present:
+                    resp.get_bytes()
+                out.append(self.overlay[k])
+            else:
+                out.append(resp.get_bytes() if resp.get_u8() else None)
+        return out
 
     def _base_batches(self, lower: bytes, upper: bytes, reverse: bool):
         lo, hi = lower, upper
@@ -458,6 +481,17 @@ class KvServer:
             for k, v in out_pairs:
                 out.put_bytes(k)
                 out.put_bytes(v)
+            return bytes(out.buf)
+        if op == OP_MGET:
+            tx = self._get_tx(w.get_u64())
+            n = w.get_u64()
+            out = _Wire()
+            for _ in range(n):
+                val = tx.get(w.get_bytes())
+                if val is None:
+                    out.put_u8(0)
+                else:
+                    out.put_u8(1).put_bytes(val)
             return bytes(out.buf)
         if op == OP_SEEK1:
             tx = self._get_tx(w.get_u64())

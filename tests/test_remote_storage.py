@@ -248,3 +248,19 @@ def test_hnsw_concurrent_writers_conflict(server):
         "?[id] := ~emb:ix{id | query: vec([0.5,0.0,0.5,0.0]), k: 1, ef: 8}"
     )
     assert [r[0] for r in out.rows] == [11]
+
+
+def test_multi_get_batches_one_round_trip(server):
+    st = RemoteStorage(_addr(server))
+    tx = st.transact(write=True)
+    for i in range(20):
+        tx.put(b"m%02d" % i, b"v%d" % i)
+    tx.commit()
+
+    tx = st.transact(write=True)
+    tx.put(b"m05", b"overlaid")
+    tx.delete(b"m06")
+    got = tx.multi_get([b"m01", b"m05", b"m06", b"nope", b"m19"])
+    assert got == [b"v1", b"overlaid", None, None, b"v19"]
+    tx.abort()
+    st.close()
