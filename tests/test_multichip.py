@@ -127,3 +127,130 @@ print('MESH_QUERY_OK')
         timeout=600,
     )
     assert "MESH_QUERY_OK" in out.stdout, out.stderr[-2000:]
+
+
+def test_dryrun_hostile_env():
+    """VERDICT r2 #1 'done' criterion: dryrun_multichip must pass even when
+    called from a process whose env LIES — JAX_PLATFORMS=cpu + the right
+    XLA_FLAGS were set *after* jax was already initialized on a different
+    device topology (here: a 1-device CPU backend standing in for axon).
+    The old fast path ran in-process and blew up; the unconditional
+    re-exec must succeed."""
+    code = """
+import os
+# initialize jax FIRST on a single-device cpu backend (flag absent)
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("XLA_FLAGS", None)
+import jax
+assert len(jax.devices()) == 1, jax.devices()
+# now make the env *look* like an 8-device CPU mesh host (it is not)
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+import __graft_entry__ as g
+g.dryrun_multichip(8)
+print('HOSTILE_OK')
+"""
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env.pop("XLA_FLAGS", None)
+    env.pop("_COZO_MULTICHIP_CHILD", None)
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert "HOSTILE_OK" in out.stdout, out.stderr[-2000:]
+
+
+def test_dryrun_child_asserts_backend():
+    """The child sentinel path must refuse to run on a wrong-topology host
+    with a diagnostic naming platform + devices (so a red artifact is at
+    least attributable)."""
+    code = """
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("XLA_FLAGS", None)
+os.environ["_COZO_MULTICHIP_CHILD"] = "1"
+import __graft_entry__ as g
+try:
+    g.dryrun_multichip(8)
+except RuntimeError as e:
+    msg = str(e)
+    assert "default_backend" in msg and "cpu" in msg, msg
+    print('CHILD_GUARD_OK')
+else:
+    raise SystemExit("child guard did not fire")
+"""
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env.pop("XLA_FLAGS", None)
+    env.pop("_COZO_MULTICHIP_CHILD", None)
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert "CHILD_GUARD_OK" in out.stdout, out.stderr[-2000:]
+
+
+def test_sharded_scale_1m_vectors_and_4m_edges():
+    """VERDICT r2 #8: multi-chip correctness past toy shapes — a 1M x 64-d
+    table row-sharded over 8 CPU devices with exact top-k parity vs a
+    single-device numpy sweep, and a 4M-edge sharded PageRank psum epoch
+    vs host numpy."""
+    code = """
+import numpy as np, types, jax, jax.numpy as jnp
+from cozo_tpu.parallel.mesh import (make_mesh, ShardedSweep, shard_array,
+                                    replicate_array, sharded_pagerank_step)
+mesh = make_mesh(8)
+rng = np.random.default_rng(7)
+n, d, B, k = 1_000_000, 64, 16, 10
+data = rng.standard_normal((n, d)).astype(np.float32)
+idx = types.SimpleNamespace(
+    dim=d, n=n, vectors=data, alive=np.ones(n, bool),
+    norms=np.einsum('nd,nd->n', data, data), distance='L2')
+ss = ShardedSweep(mesh, idx, chunk=1 << 14)
+qs = data[rng.integers(0, n, B)] + 1e-3
+ids, dists = ss.search(qs, k)
+d2 = ((data[None, :, :1] * 0)).sum()  # noop keep mem low
+score = (-2 * (qs @ data.T) + np.einsum('nd,nd->n', data, data)[None])
+gt = np.argsort(score, axis=1)[:, :k]
+match = np.mean([len(set(ids[b].tolist()) & set(gt[b].tolist())) / k for b in range(B)])
+assert match >= 0.95, match  # f32 near-ties at 1M rows cost a few ids
+# distance-level parity is tight: the kth-NN distances must agree
+gt_d = np.sort(np.take_along_axis(score, gt, 1), 1)
+gt_d = gt_d + np.einsum('bd,bd->b', qs, qs)[:, None]  # + |q|^2 -> true L2^2
+np.testing.assert_allclose(np.sort(dists, 1), gt_d, rtol=5e-3, atol=0.25)
+print('SCALE_SWEEP_OK', match)
+
+# 4M-edge sharded PageRank epoch vs host numpy
+n_nodes, e = 500_000, 4_000_000
+src = rng.integers(0, n_nodes, e).astype(np.int32)
+dst = rng.integers(0, n_nodes, e).astype(np.int32)
+out_deg = np.maximum(np.bincount(src, minlength=n_nodes), 1).astype(np.float32)
+step = sharded_pagerank_step(mesh, src, dst, jnp.asarray(out_deg), n_nodes)
+ranks = np.full(n_nodes, 1.0 / n_nodes, np.float32)
+got = np.asarray(step(shard_array(mesh, src), shard_array(mesh, dst),
+                      replicate_array(mesh, ranks)))
+contrib = ranks / out_deg
+want = np.zeros(n_nodes, np.float64)
+np.add.at(want, dst, contrib[src].astype(np.float64))
+np.testing.assert_allclose(got, want.astype(np.float32), rtol=2e-3, atol=1e-9)
+print('SCALE_PR_OK')
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        env=_cpu_env(),
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert "SCALE_SWEEP_OK" in out.stdout and "SCALE_PR_OK" in out.stdout, (
+        out.stdout + out.stderr[-2000:]
+    )
