@@ -283,7 +283,9 @@ class ShortestPathAStar(FixedRule):
         edges = payload.get_input(0)
         nodes = payload.get_input(1)
         starting = payload.get_input(2).rows()
-        goals = payload.get_input(3).rows()
+        goals_in = payload.get_input(3)
+        goals = goals_in.rows()
+        goals_bmap = goals_in.binding_map()
         heuristic = payload.expr_option("heuristic", None)
         if heuristic is None:
             raise QueryError("'heuristic' option required for ShortestPathAStar")
@@ -301,10 +303,14 @@ class ShortestPathAStar(FixedRule):
                 row = node_rows.get(node_key)
                 if row is None:
                     return 0.0
-                env = dict(zip(["goal"], []))
+                # env = node-row bindings (input 1, e.g. `nodes[n, lat1,
+                # lon1]`) + goal-row bindings (input 3, e.g. `goal[g,
+                # lat2, lon2]`) — reference algos/astar.rs evaluates the
+                # heuristic with both tuples in scope
                 env = {name: row[i] for name, i in bmap.items()}
-                for name, i in bmap.items():
-                    env[f"goal_{name}"] = goal_row[i]
+                for name, i in goals_bmap.items():
+                    if i < len(grow):
+                        env[name] = grow[i]
                 v = heuristic.eval_env(env)
                 if isinstance(v, bool) or not isinstance(v, (int, float)):
                     raise QueryError("heuristic must evaluate to a number")

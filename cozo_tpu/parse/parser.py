@@ -455,6 +455,11 @@ class Parser:
                 break
             if t.kind == PUNCT and t.text == ")":
                 break
+            # trailing comma before an out-option / relation-op (':limit',
+            # ':replace', ...): ':' can never start an atom (reference
+            # grammar allows trailing commas in rule bodies)
+            if t.kind == PUNCT and t.text == ":":
+                break
             atoms.append(self.parse_disjunction())
             if not self.eat_punct(","):
                 break

@@ -39,7 +39,8 @@ class MemoStore:
     """Set-semantics store with epoch deltas (reference EpochStore,
     `runtime/temp_store.rs:249-336`)."""
 
-    __slots__ = ("total", "delta", "new", "_indexes", "presorted")
+    __slots__ = ("total", "delta", "new", "_indexes", "presorted",
+                 "_sorted", "_no_sort")
 
     def __init__(self) -> None:
         self.total: Dict[tuple, list] = {}
@@ -48,6 +49,11 @@ class MemoStore:
         self._indexes: Dict[tuple, dict] = {}
         # set by fill_bulk: rows already in cmp_key order (skip output sort)
         self.presorted = False
+        # cached sorted-row lists [total, delta]; reference stores are
+        # BTreeMaps, so scans must yield rows in cmp_key order (matters
+        # for order-sensitive aggregations: collect/choice/shortest)
+        self._sorted: List[Optional[list]] = [None, None]
+        self._no_sort = False
 
     def fill_bulk(self, rows: List[list], distinct: bool, presorted: bool) -> None:
         """Bulk-load a one-shot result (fixed rules emit millions of rows;
@@ -61,6 +67,10 @@ class MemoStore:
             self.total = {self.key_of(r): r for r in rows}
         self.delta = self.total
         self.presorted = presorted
+        self._sorted = [None, None]
+        # positional int keys: insertion order already ascending; cmp_key
+        # sorting of bulk fixed-rule output would cost O(n log n) at 69M
+        self._no_sort = True
 
     def key_of(self, row: Sequence[Any]) -> tuple:
         return tuple(cmp_key(v) for v in row)
@@ -78,10 +88,19 @@ class MemoStore:
         self.new = {}
         self.total.update(self.delta)
         self._indexes.clear()
+        self._sorted = [None, None]
         return bool(self.delta)
 
     def rows(self, delta: bool):
-        return (self.delta if delta else self.total).values()
+        d = self.delta if delta else self.total
+        if self._no_sort:
+            return d.values()
+        i = 1 if delta else 0
+        c = self._sorted[i]
+        if c is None:
+            c = [d[k] for k in sorted(d.keys())]
+            self._sorted[i] = c
+        return c
 
     def index_for(self, positions: Tuple[int, ...], delta: bool) -> dict:
         key = (positions, delta)
@@ -140,6 +159,7 @@ class MeetStore(MemoStore):
         self.new = {}
         self.total = {self.key_of(r): r for r in self.groups.values()}
         self._indexes.clear()
+        self._sorted = [None, None]
         return bool(self.delta)
 
 
@@ -489,23 +509,32 @@ def compile_clause(
             steps.append(StepFilter(expr))
         elif isinstance(atom, NegationAtom):
             inner = atom.inner
+
+            def _neg_spec(args):
+                # classify against a COPY: unbound (wildcard) vars inside
+                # a negation are existential — they must not claim env
+                # positions, and the probe skips them entirely
+                spec = _classify_args(args, dict(binding_map))
+                return [
+                    (None, None) if k == FRESH else (k, v) for k, v in spec
+                ]
+
             if isinstance(inner, RuleApplyAtom):
                 if inner.name in ctx.stores or inner.name in ctx.rule_names:
-                    spec = _classify_args(inner.args, binding_map)
+                    spec = _neg_spec(inner.args)
                     steps.append(StepNegation("rule", inner.name, spec))
                 else:
                     handle = ctx.tx.get_relation(inner.name)
-                    spec = _classify_args(
+                    spec = _neg_spec(
                         list(inner.args)
-                        + [None] * (handle.arity - len(inner.args)),
-                        binding_map,
+                        + [None] * (handle.arity - len(inner.args))
                     )
                     steps.append(StepNegation("stored", handle, spec))
             else:
                 handle = ctx.tx.get_relation(inner.name)
                 handle.ensure_can_read()
                 args = _rel_args_positional(inner, handle)
-                spec = _classify_args(args, binding_map)
+                spec = _neg_spec(args)
                 steps.append(StepNegation("stored", handle, spec))
         else:
             raise QueryError(f"cannot compile atom {atom!r}")

@@ -274,11 +274,22 @@ def reorder_for_safety(conj: List[Any], head: List[str], rule_name: str) -> List
     pending = list(conj)
     bound: Set[str] = set()
     ordered: List[Any] = []
+    # wildcards (`_` → fresh `*fv` vars) inside a negated atom that no
+    # positive atom binds are existential — `not rel[x, _]` means "no row
+    # with first component x" (reference query/reorder.rs wildcard rule)
+    pos_bound: Set[str] = set()
+    for a in conj:
+        if not isinstance(a, NegationAtom):
+            pos_bound |= atom_bind_vars(a)
     while pending:
         progressed = False
         for i, atom in enumerate(pending):
             req = atom_req_vars(atom)
             if isinstance(atom, NegationAtom):
+                req = {
+                    v for v in req
+                    if not (v.startswith("*fv") and v not in pos_bound)
+                }
                 # all its vars must already be bound (safe negation)
                 if not req <= bound:
                     continue

@@ -365,6 +365,7 @@ class Db:
         if opts.timeout is not None:
             poison.set_timeout(opts.timeout)
 
+        limited = False
         if not prog.rules:
             if opts.store_relation is None:
                 raise QueryError("no entry to query: the query is empty")
@@ -410,7 +411,18 @@ class Db:
                 limit_hint = opts.limit + (opts.offset or 0)
             evaluate_strata(strata, ctx, limit_hint)
             store = ctx.stores["?"]
-            if store.presorted:
+            if limit_hint is not None and not store.presorted:
+                # reference QueryLimiter semantics (query/eval.rs:33-62):
+                # without :order, evaluation stops after limit+offset
+                # DISTINCT tuples in generation order; :offset drops the
+                # first tuples in generation order; output is then sorted
+                gen = list(store.total.values())[:limit_hint]
+                gen = gen[prog.out_opts.offset or 0:]
+                rows = [list(r) for r in gen]
+                rows.sort(key=lambda r: tuple(cmp_key(v) for v in r))
+                rows = rows[: prog.out_opts.limit]
+                limited = True
+            elif store.presorted:
                 rows = list(store.total.values())
             else:
                 rows = [list(r) for r in store.total.values()]
@@ -420,20 +432,22 @@ class Db:
         return self._query_epilogue(
             tx, prog, rows, headers, cur_vld, callback_targets,
             callback_collector, propagate_triggers,
+            skip_limit_offset=limited,
         )
 
     def _query_epilogue(
         self, tx, prog, rows, headers, cur_vld, callback_targets,
-        callback_collector, propagate_triggers,
+        callback_collector, propagate_triggers, skip_limit_offset=False,
     ) -> NamedRows:
         """Shared tail: sorters/limit/asserts/sleep + the mutation step."""
         opts = prog.out_opts
         if opts.sorters:
             rows = self._apply_sorters(rows, headers, opts.sorters)
-        if opts.offset:
-            rows = rows[opts.offset :]
-        if opts.limit is not None:
-            rows = rows[: opts.limit]
+        if not skip_limit_offset:
+            if opts.offset:
+                rows = rows[opts.offset :]
+            if opts.limit is not None:
+                rows = rows[: opts.limit]
 
         if opts.assert_none and rows:
             raise QueryError(
