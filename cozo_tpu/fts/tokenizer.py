@@ -428,6 +428,52 @@ class TextAnalyzer:
             toks = f(toks)
         return toks
 
+    def analyze_texts(self, texts: List[str]) -> List[List[str]]:
+        """Batch analyze, TEXT ONLY (positions/offsets dropped) — the bulk
+        LSH/minhash path needs token strings, not spans.  Fast path for
+        Simple/Whitespace tokenizers: ONE regex pass over a joined buffer
+        (per-doc analyze() costs ~20µs of dispatch), then the filter
+        chain runs once per UNIQUE token via a memo (backfill chunks
+        repeat vocabulary heavily; stemmers/stopwords are pure per-token
+        functions of the text)."""
+        if self.tokenize_fn is tok_simple:
+            pat = _SIMPLE_RE
+        elif self.tokenize_fn is tok_whitespace:
+            pat = re.compile(r"\S+")
+        else:
+            return [[t.text for t in self.analyze(x)] for x in texts]
+        bounds = []
+        pos = 0
+        for x in texts:
+            pos += len(x) + 1
+            bounds.append(pos)
+        joined = "\n".join(texts) + "\n"
+        per_doc: List[List[str]] = [[] for _ in texts]
+        if self.filters:
+            memo: dict = {}
+            d = 0
+            for m in pat.finditer(joined):
+                s = m.start()
+                while s >= bounds[d]:
+                    d += 1
+                raw = m.group(0)
+                out = memo.get(raw)
+                if out is None:
+                    toks = [Token(raw, 0, 0, len(raw))]
+                    for f in self.filters:
+                        toks = f(toks)
+                    out = [t.text for t in toks]
+                    memo[raw] = out
+                per_doc[d].extend(out)
+        else:
+            d = 0
+            for m in pat.finditer(joined):
+                s = m.start()
+                while s >= bounds[d]:
+                    d += 1
+                per_doc[d].append(m.group(0))
+        return per_doc
+
 
 def build_analyzer(tokenizer_spec, filter_specs) -> TextAnalyzer:
     """tokenizer_spec = (name, args); filter_specs = [(name, args), ...]

@@ -48,16 +48,40 @@ def hash_tokens(tokens: List[str]) -> np.ndarray:
     bs = [t.encode("utf-8") for t in tokens]
     lens = np.fromiter((len(b) for b in bs), dtype=np.int64, count=n)
     lmax = int(lens.max()) if n else 0
-    mat = np.zeros((n, lmax), dtype=np.uint8)
-    for i, b in enumerate(bs):
-        if b:
-            mat[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+    total = int(lens.sum())
+    if lmax == 0:
+        return np.full(n, 2166136261, dtype=np.uint32)
+    # one joined buffer + a [n, lmax] gather (the per-token fill loop cost
+    # 2s per 100K-doc backfill chunk batch)
+    arr = np.frombuffer(b"".join(bs), dtype=np.uint8)
+    starts = np.empty(n, dtype=np.int64)
+    starts[0] = 0
+    np.cumsum(lens[:-1], out=starts[1:])
+    cols = np.arange(lmax, dtype=np.int64)
+    idx = np.minimum(starts[:, None] + cols[None, :], total - 1)
+    valid = cols[None, :] < lens[:, None]
+    mat = np.where(valid, arr[idx], np.uint8(0))
     h = np.full(n, 2166136261, dtype=np.uint32)
     prime = np.uint32(16777619)
     for j in range(lmax):
         hj = (h ^ mat[:, j]) * prime
         h = np.where(lens > j, hj, h)
     return h
+
+
+def hash_tokens_dedup(tokens: List[str]) -> np.ndarray:
+    """hash_tokens with duplicate folding: backfill chunks repeat the
+    same vocabulary heavily, and FNV folding cost scales with rows."""
+    uniq: dict = {}
+    inv = np.empty(len(tokens), dtype=np.int64)
+    for i, t in enumerate(tokens):
+        j = uniq.get(t)
+        if j is None:
+            j = len(uniq)
+            uniq[t] = j
+        inv[i] = j
+    hu = hash_tokens(list(uniq))
+    return hu[inv]
 
 
 _SEEDS_CACHE = {}
@@ -81,7 +105,38 @@ def minhash(element_hashes: np.ndarray, n_perm: int) -> np.ndarray:
     return h.min(axis=0)
 
 
+_HOST_BLOCK_TOKENS = 32_768
+
+
 def minhash_segments(
+    flat_hashes: np.ndarray, offsets: np.ndarray, n_perm: int
+) -> np.ndarray:
+    """Tiled driver for `_minhash_segments_block`: the [T, n_perm] mixed
+    matrix at T=425K (a 32K-doc backfill chunk) is 218MB — the six fmix
+    passes thrash LLC (measured 30s/100K docs).  Tiling doc ranges to
+    ~32K tokens keeps each tile cache-resident (~16MB)."""
+    n_docs = len(offsets)
+    total = len(flat_hashes)
+    if total <= _HOST_BLOCK_TOKENS or n_docs <= 1:
+        return _minhash_segments_block(flat_hashes, offsets, n_perm)
+    offsets = np.asarray(offsets, dtype=np.int64)
+    out = np.empty((n_docs, n_perm), dtype=np.uint32)
+    d0 = 0
+    while d0 < n_docs:
+        # widest doc range whose token span fits in a block (>=1 doc)
+        d1 = int(
+            np.searchsorted(offsets, offsets[d0] + _HOST_BLOCK_TOKENS, "right")
+        )
+        d1 = max(d1 - 1, d0 + 1)
+        end = offsets[d1] if d1 < n_docs else total
+        out[d0:d1] = _minhash_segments_block(
+            flat_hashes[offsets[d0]:end], offsets[d0:d1] - offsets[d0], n_perm
+        )
+        d0 = d1
+    return out
+
+
+def _minhash_segments_block(
     flat_hashes: np.ndarray, offsets: np.ndarray, n_perm: int
 ) -> np.ndarray:
     """Minhash signatures for a batch of variable-length docs in one shot.
@@ -120,26 +175,186 @@ def minhash_segments(
     return sigs.astype(np.uint32)
 
 
-def minhash_batch_jax(element_hash_mat: np.ndarray, mask: np.ndarray, n_perm: int):
-    """Batched device minhash: [B, E_pad] hashes + validity mask →
-    [B, n_perm] signatures.  Used for bulk LSH builds."""
-    import jax
+_DEVICE_FNS = {}
+_DEVICE_OK: Optional[bool] = None
+
+
+def _device_available() -> bool:
+    global _DEVICE_OK
+    if _DEVICE_OK is None:
+        import os
+
+        if os.environ.get("COZO_TPU_LSH_DEVICE", "1") == "0":
+            _DEVICE_OK = False
+        else:
+            try:
+                from ..utils.jax_setup import ensure_jax_config
+
+                ensure_jax_config()
+                import jax  # noqa: F401
+
+                _DEVICE_OK = True
+            except Exception:
+                _DEVICE_OK = False
+    return _DEVICE_OK
+
+
+def _pow2_bucket(n: int, lo: int = 4096) -> int:
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
+def _device_segment_min(t_pad: int, d_pad: int, n_perm: int):
+    """jit'd [T_pad] hashes + [T_pad] segment ids → [D_pad, n_perm] sigs
+    (murmur fmix32 of hash^seed, segment-min; empty segments get the
+    dtype max = the empty-doc signature).  Shapes pow2-bucketed to bound
+    axon recompiles (repo convention)."""
+    key = (t_pad, d_pad, n_perm)
+    fn = _DEVICE_FNS.get(key)
+    if fn is None:
+        import jax
+        import jax.numpy as jnp
+
+        seeds = jnp.asarray(perm_seeds(n_perm))
+
+        @jax.jit
+        def run(h, seg):
+            x = h[:, None] ^ seeds[None, :]
+            x = x ^ (x >> 16)
+            x = x * jnp.uint32(0x85EBCA6B)
+            x = x ^ (x >> 13)
+            x = x * jnp.uint32(0xC2B2AE35)
+            x = x ^ (x >> 16)
+            return jax.ops.segment_min(
+                x, seg, num_segments=d_pad, indices_are_sorted=True
+            )
+
+        fn = run
+        _DEVICE_FNS[key] = fn
+    return fn
+
+
+# flip to device only when the mix+min work dwarfs relay/transfer latency
+DEVICE_MIN_TOKENS = 16_384
+
+
+def minhash_segments_device(
+    flat_hashes: np.ndarray, offsets: np.ndarray, n_perm: int
+) -> np.ndarray:
+    """Device variant of `minhash_segments` (bit-identical output,
+    asserted in tests/test_fts_lsh.py): the [T, n_perm] mix + per-doc min
+    runs as one fused segment_min on the TPU.  This is the bulk-backfill
+    compute path (SURVEY §2.8: MinHash-LSH as vectorized hash matmuls)."""
     import jax.numpy as jnp
 
-    seeds = jnp.asarray(perm_seeds(n_perm))
+    n_docs = len(offsets)
+    total = len(flat_hashes)
+    if n_docs == 0:
+        return np.empty((0, n_perm), dtype=np.uint32)
+    if total == 0:
+        return np.full((n_docs, n_perm), _U32, dtype=np.uint32)
+    offsets = np.asarray(offsets, dtype=np.int64)
+    seg = np.zeros(total, dtype=np.int32)
+    np.add.at(seg, offsets[1:][offsets[1:] < total], 1)
+    np.cumsum(seg, out=seg)
+    t_pad = _pow2_bucket(total)
+    d_pad = _pow2_bucket(n_docs, lo=1024)
+    h = np.zeros(t_pad, dtype=np.uint32)
+    h[:total] = flat_hashes
+    segp = np.full(t_pad, d_pad - 1, dtype=np.int32)
+    segp[:total] = seg
+    fn = _device_segment_min(t_pad, d_pad, n_perm)
+    sigs = np.array(fn(jnp.asarray(h), jnp.asarray(segp)))[:n_docs]
+    # padded rows land in segment d_pad-1 with mixed values of hash 0 —
+    # recompute that one doc's signature on host if it is real; interior
+    # empty docs already read as dtype-max from segment_min's identity
+    if n_docs == d_pad:
+        s, e = int(offsets[-1]), total
+        sigs[-1] = (
+            minhash(flat_hashes[s:e], n_perm) if e > s
+            else np.full(n_perm, _U32, dtype=np.uint32)
+        )
+    return sigs.astype(np.uint32)
 
-    @jax.jit
-    def run(hm, mk):
-        x = hm[:, :, None] ^ seeds[None, None, :]
-        x = x ^ (x >> 16)
-        x = x * jnp.uint32(0x85EBCA6B)
-        x = x ^ (x >> 13)
-        x = x * jnp.uint32(0xC2B2AE35)
-        x = x ^ (x >> 16)
-        x = jnp.where(mk[:, :, None], x, jnp.uint32(_U32))
-        return x.min(axis=1)
 
-    return np.asarray(run(jnp.asarray(element_hash_mat), jnp.asarray(mask)))
+def minhash_segments_auto(
+    flat_hashes: np.ndarray, offsets: np.ndarray, n_perm: int
+) -> np.ndarray:
+    """Pick device (TPU segment-min) or host (numpy reduceat) by size."""
+    if len(flat_hashes) >= DEVICE_MIN_TOKENS and _device_available():
+        try:
+            return minhash_segments_device(flat_hashes, offsets, n_perm)
+        except Exception:  # pragma: no cover — device init/compile issues
+            pass
+    return minhash_segments(flat_hashes, offsets, n_perm)
+
+
+class _SigFuture:
+    """Async minhash result: `get()` materializes.  Device results stay
+    un-fetched until then, so the caller can overlap its host work (KV
+    put loops) with TPU compute + relay transfer."""
+
+    def __init__(self, value, n_docs: int, tail_fix=None) -> None:
+        self._v = value
+        self._n = n_docs
+        self._tail_fix = tail_fix  # host-recomputed last-doc signature
+
+    def get(self) -> np.ndarray:
+        if not isinstance(self._v, np.ndarray):
+            v = np.array(self._v)[: self._n]
+            if self._tail_fix is not None:
+                v[-1] = self._tail_fix
+            self._v = v.astype(np.uint32)
+        return self._v
+
+
+def minhash_segments_dispatch(
+    flat_hashes: np.ndarray, offsets: np.ndarray, n_perm: int
+) -> _SigFuture:
+    """Async variant of `minhash_segments_auto`: returns immediately with
+    a future; on the device path the segment-min kernel is dispatched but
+    NOT fetched (jax async dispatch), letting backfill pipeline chunk
+    K's host writes against chunk K+1's device compute."""
+    n_docs = len(offsets)
+    total = len(flat_hashes)
+    if (
+        total < DEVICE_MIN_TOKENS
+        or n_docs == 0
+        or total == 0
+        or not _device_available()
+    ):
+        return _SigFuture(
+            minhash_segments(flat_hashes, offsets, n_perm), n_docs
+        )
+    try:
+        import jax.numpy as jnp
+
+        offsets = np.asarray(offsets, dtype=np.int64)
+        seg = np.zeros(total, dtype=np.int32)
+        np.add.at(seg, offsets[1:][offsets[1:] < total], 1)
+        np.cumsum(seg, out=seg)
+        t_pad = _pow2_bucket(total)
+        d_pad = _pow2_bucket(n_docs, lo=1024)
+        h = np.zeros(t_pad, dtype=np.uint32)
+        h[:total] = flat_hashes
+        segp = np.full(t_pad, d_pad - 1, dtype=np.int32)
+        segp[:total] = seg
+        fn = _device_segment_min(t_pad, d_pad, n_perm)
+        out = fn(jnp.asarray(h), jnp.asarray(segp))
+        tail_fix = None
+        if n_docs == d_pad:
+            s, e = int(offsets[-1]), total
+            tail_fix = (
+                minhash(flat_hashes[s:e], n_perm) if e > s
+                else np.full(n_perm, _U32, dtype=np.uint32)
+            )
+        return _SigFuture(out, n_docs, tail_fix)
+    except Exception:  # pragma: no cover — device init/compile issues
+        return _SigFuture(
+            minhash_segments(flat_hashes, offsets, n_perm), n_docs
+        )
 
 
 def find_optimal_params(

@@ -17,7 +17,6 @@ from ..ops.minhash import (
     band_keys,
     find_optimal_params,
     hash_tokens,
-    jaccard_estimate,
     minhash,
 )
 from ..parse import ast as A
@@ -111,21 +110,29 @@ def create_lsh_index(db, cfg: A.MinHashLshConfig):
         meta = {"kind": "lsh", "rel_ids": [idx_id, inv_id], "config": manifest}
         handle.indices[cfg.index_name] = meta
         tx.put_relation_meta(handle)
-        # back-fill in doc chunks: signatures batch through the vectorized
-        # hash + segment-minhash path (~20x the per-doc rate)
+        # back-fill in doc chunks, PIPELINED: chunk K's device segment-
+        # minhash (async jax dispatch) overlaps chunk K-1's KV put loop
         analyzer, extractor = _analyzer_and_extractor(manifest, handle)
         store_tx = tx.store_tx_for(handle)
         nk = len(handle.keys)
         chunk: list = []
+        pending = None
         for row in handle.scan_all(store_tx):
             chunk.append(row)
-            if len(chunk) >= 4096:
-                _index_docs_bulk(tx, idx_handle, inv_handle, manifest,
-                                 analyzer, extractor, chunk, nk)
+            if len(chunk) >= 32768:
+                prepared = _prepare_chunk(manifest, analyzer, extractor, chunk)
+                if pending is not None:
+                    _write_chunk(tx, idx_handle, inv_handle, manifest,
+                                 pending, nk)
+                pending = prepared
                 chunk = []
         if chunk:
-            _index_docs_bulk(tx, idx_handle, inv_handle, manifest, analyzer,
-                             extractor, chunk, nk)
+            prepared = _prepare_chunk(manifest, analyzer, extractor, chunk)
+            if pending is not None:
+                _write_chunk(tx, idx_handle, inv_handle, manifest, pending, nk)
+            pending = prepared
+        if pending is not None:
+            _write_chunk(tx, idx_handle, inv_handle, manifest, pending, nk)
         tx.commit()
         return NamedRows.ok()
     except BaseException:
@@ -178,14 +185,13 @@ def _index_doc(tx, idx_handle, inv_handle, manifest, analyzer, extractor, row, n
     )
 
 
-def _index_docs_bulk(tx, idx_handle, inv_handle, manifest, analyzer,
-                     extractor, rows, nk):
-    """Chunked equivalent of `_index_doc`: one vectorized hash_tokens +
-    minhash_segments call covers every doc in `rows`.  Produces byte-for-
-    byte the same index entries as the per-doc path (lsh_put keeps using
-    `_index_doc`, so incremental maintenance stays compatible)."""
-    from ..data.memcmp import encode_tuple, encode_value
-    from ..ops.minhash import minhash_segments
+def _prepare_chunk(manifest, analyzer, extractor, rows):
+    """Host half of bulk indexing: batch tokenize + vectorized dedup
+    hash + async (device when large) segment-minhash dispatch.  Returns
+    (kept_rows, signature_future); byte-for-byte the same signatures as
+    the per-doc `_index_doc` path (lsh_put keeps using `_index_doc`, so
+    incremental maintenance stays compatible)."""
+    from ..ops.minhash import hash_tokens_dedup, minhash_segments_dispatch
 
     texts, keep = [], []
     for row in rows:
@@ -197,21 +203,36 @@ def _index_docs_bulk(tx, idx_handle, inv_handle, manifest, analyzer,
         keep.append(row)
         texts.append(text)
     if not keep:
-        return
+        return None
     ng = manifest["n_gram"]
-    tok_lists = [_ngrams([t.text for t in analyzer.analyze(x)], ng) for x in texts]
+    tok_lists = [_ngrams(ts, ng) for ts in analyzer.analyze_texts(texts)]
     flat = [t for ts in tok_lists for t in ts]
     offs = np.zeros(len(tok_lists), dtype=np.int64)
     if len(tok_lists) > 1:
         np.cumsum([len(ts) for ts in tok_lists[:-1]], out=offs[1:])
-    sigs = minhash_segments(hash_tokens(flat), offs, manifest["n_perm"])
+    fut = minhash_segments_dispatch(
+        hash_tokens_dedup(flat), offs, manifest["n_perm"]
+    )
+    return keep, fut
+
+
+def _write_chunk(tx, idx_handle, inv_handle, manifest, prepared, nk):
+    """KV half of bulk indexing: band + inverse-row puts for a prepared
+    chunk (materializes the signature future first)."""
+    from ..data.memcmp import encode_tuple
+
+    if prepared is None:
+        return
+    keep, fut = prepared
+    sigs = fut.get()
     n_bands, rpb = manifest["n_bands"], manifest["rows_per_band"]
     store_tx = tx.store_tx_for(idx_handle)
     prefixes = _band_prefixes(idx_handle, n_bands)
     put = store_tx.put
+    all_bytes = sigs.tobytes()
+    w = manifest["n_perm"] * 4
     for d, row in enumerate(keep):
-        sig = sigs[d]
-        sig_bytes = sig.tobytes()
+        sig_bytes = all_bytes[d * w : (d + 1) * w]
         doc_suffix = encode_tuple(row[:nk])
         for bi in range(n_bands):
             bh = sig_bytes[bi * rpb * 4 : (bi + 1) * rpb * 4]
@@ -262,7 +283,15 @@ def lsh_remove(db, tx, handle, idx_name, meta, old_row) -> None:
 def lsh_search(
     db, tx, handle, idx_name, meta, query: str, k: Optional[int]
 ) -> List[Tuple[list, float]]:
-    """Returns [(base_key_vals, est_jaccard)] sorted by similarity."""
+    """Returns [(base_key_vals, est_jaccard)] sorted by similarity.
+
+    Stronger than the reference (`minhash_lsh.rs:138-201` returns the
+    first k candidates in band-scan order without scoring): candidates
+    are pre-ranked by band-collision COUNT (a monotone proxy — P(band
+    collision) = s^rows_per_band), only the top k*8 fetch their stored
+    signature, and the exact jaccard estimate runs as one vectorized
+    [C, n_perm] compare instead of a per-candidate numpy dispatch (the
+    per-candidate loop dominated 1M-doc query latency)."""
     manifest = meta["config"]
     idx_handle = tx.get_relation(f"{handle.name}:{idx_name}")
     inv_handle = tx.get_relation(f"{handle.name}:{idx_name}:inv")
@@ -271,19 +300,36 @@ def lsh_search(
     bands = band_keys(sig, manifest["n_bands"], manifest["rows_per_band"])
     store_tx = tx.store_tx_for(idx_handle)
     nk = len(handle.keys)
-    cands: Dict[tuple, list] = {}
+    cands: Dict[tuple, list] = {}  # cmp_key -> [count, key_vals]
     for bi, bh in enumerate(bands):
         for row in idx_handle.scan_prefix(store_tx, [bi, bh]):
             key_vals = row[2 : 2 + nk]
-            cands.setdefault(tuple(cmp_key(v) for v in key_vals), key_vals)
-    out = []
-    for key_vals in cands.values():
+            c = cands.get(tuple(cmp_key(v) for v in key_vals))
+            if c is None:
+                cands[tuple(cmp_key(v) for v in key_vals)] = [1, key_vals]
+            else:
+                c[0] += 1
+    selected = list(cands.values())
+    if k is not None and len(selected) > max(k * 8, 64):
+        import heapq
+
+        selected = heapq.nlargest(
+            max(k * 8, 64), selected, key=lambda c: c[0]
+        )
+    key_list = [c[1] for c in selected]
+    sig_rows = []
+    keep_keys = []
+    for key_vals in key_list:
         inv = inv_handle.get_row(store_tx, key_vals)
         if inv is None:
             continue
-        stored_sig = np.frombuffer(inv[nk], dtype=np.uint32)
-        out.append((key_vals, jaccard_estimate(sig, stored_sig)))
-    out.sort(key=lambda x: -x[1])
+        keep_keys.append(key_vals)
+        sig_rows.append(np.frombuffer(inv[nk], dtype=np.uint32))
+    if not keep_keys:
+        return []
+    sims = (np.stack(sig_rows) == sig[None, :]).mean(axis=1)
+    order = np.argsort(-sims, kind="stable")
+    out = [(keep_keys[i], float(sims[i])) for i in order]
     if k is not None:
         out = out[:k]
     return out

@@ -299,10 +299,19 @@ class TkvStorage(Storage):
         _lib().tkv_compact(self.handle)
 
     def batch_put(self, items) -> None:
-        tx = self.transact(write=True)
-        for k, v in items:
-            tx.put(k, v)
-        tx.commit()
+        # bulk-restore path: chunked commits with the overlay built in one
+        # SortedDict() constructor pass (per-item insertion costs ~2.5µs;
+        # backup files scan in key order, the constructor's best case)
+        from itertools import islice
+
+        it = iter(items)
+        while True:
+            chunk = list(islice(it, 500_000))
+            if not chunk:
+                break
+            tx = self.transact(write=True)
+            tx.overlay = SortedDict(chunk)
+            tx.commit()
 
     def close(self) -> None:
         if self.handle:
