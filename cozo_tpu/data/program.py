@@ -121,6 +121,11 @@ class FixedRuleNamedRelArg(FixedRuleArg):
     name: str
     pairs: List[Tuple[str, Optional[str]]]  # (col, binding-name or None)
     validity: Optional[Expr] = None
+    # constant equality pins `{layer: 0, fr_id, to_id}` — filter rows to
+    # col == const without emitting the column (extension over the
+    # reference's NamedStored bindings, fixed_rule/mod.rs:229; enables
+    # prefix scans and the HNSW proximity-graph fast staging)
+    pins: List[Tuple[str, Any]] = field(default_factory=list)
 
 
 @dataclass

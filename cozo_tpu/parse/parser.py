@@ -379,6 +379,14 @@ class Parser:
             if self.at_punct("*"):
                 self.next()
                 rel = self.expect_name("relation name").text
+                # compound_or_index_ident: `rel:idx` (e.g. a proximity graph)
+                while (
+                    self.at_punct(":")
+                    and self.peek(1).kind == NAME
+                    and self.adjacent()
+                ):
+                    self.next()
+                    rel += ":" + self.expect_name("index name").text
                 if self.at_punct("["):
                     self.next()
                     bindings = []
@@ -399,6 +407,7 @@ class Parser:
                 elif self.at_punct("{"):
                     self.next()
                     pairs = []
+                    pins = []
                     vld = None
                     while not self.at_punct("}"):
                         if self.at_punct("@"):
@@ -406,17 +415,34 @@ class Parser:
                             vld = self.parse_expr()
                             break
                         col = self.expect_name("column").text
-                        alias = None
                         if self.eat_punct(":"):
-                            alias = self.expect_name("binding").text
-                        pairs.append((col, alias))
+                            if self.peek().kind == NAME and self.peek().text not in (
+                                "true", "false", "null",
+                            ):
+                                pairs.append((col, self.next().text))
+                            else:
+                                # constant pin: `layer: 0` filters instead
+                                # of binding (extension; see program.py)
+                                from ..data.expr import Const
+
+                                e = self.parse_expr().fold_const()
+                                if not isinstance(e, Const):
+                                    raise self.err(
+                                        "fixed-rule column pin must be a "
+                                        "constant"
+                                    )
+                                pins.append((col, e.val))
+                        else:
+                            pairs.append((col, None))
                         if not self.eat_punct(","):
                             if self.at_punct("@"):
                                 self.next()
                                 vld = self.parse_expr()
                             break
                     self.expect_punct("}")
-                    inputs.append(FixedRuleNamedRelArg(rel, pairs, vld))
+                    inputs.append(
+                        FixedRuleNamedRelArg(rel, pairs, vld, pins=pins)
+                    )
                 else:
                     raise self.err("expected '[' or '{' after relation in fixed rule")
             elif self.peek().kind == NAME and self.at_punct("[", 1):

@@ -245,6 +245,8 @@ def _execute_count(plan: CountPlan, db, params: Dict[str, Any], tx):
     handle = db_get_handle(db, tx, plan.rel)
     if handle is None or handle.has_validity() or handle.is_temp:
         return MISS
+    if handle.packed_src is not None:
+        return MISS  # virtual rows: raw key-range count undercounts
     if handle.access_level not in ("normal", "protected", "read_only"):
         return MISS
     cols = handle.keys + handle.values
@@ -500,6 +502,8 @@ def _execute_aggr(plan: AggrPlan, db, params: Dict[str, Any], tx):
     handle = db_get_handle(db, tx, plan.rel)
     if handle is None or handle.has_validity() or handle.is_temp:
         return MISS
+    if handle.packed_src is not None:
+        return MISS  # virtual rows: raw KV scan misses the packed base
     if handle.access_level not in ("normal", "protected", "read_only"):
         return MISS
     nk = len(handle.keys)
@@ -715,7 +719,8 @@ def execute(plan, db, params: Dict[str, Any], cur_vld: int,
         # runner specialized to this (plan, handle) pair — skips all of
         # the per-call shape re-derivation below
         if (
-            all(exprs[i] is not None for i in range(nk))
+            handle.packed_src is None  # raw-bytes runner can't see virt rows
+            and all(exprs[i] is not None for i in range(nk))
             and all(e is None for e in exprs[nk:])
             and all(i >= nk for i in head_cols)
         ):
@@ -799,5 +804,10 @@ def db_get_handle(db, tx, name: str):
         return ent[1]
     h = RelationHandle.from_json(raw.decode("utf-8"))
     h.is_temp = False
+    if h.packed_src is not None:
+        from ..runtime.hnsw_packed import PackedHnswBinder
+
+        ps = h.packed_src
+        h.virt_binder = PackedHnswBinder(db, ps["base"], ps["idx"])
     shared[name] = (raw, h)
     return h

@@ -36,7 +36,36 @@ class FixedInput:
         if isinstance(arg, FixedRuleNamedRelArg):
             cols = [c for c, _ in arg.pairs]
             idxs = [handle.col_index(c) for c in cols]
-            return [[r[i] for i in idxs] for r in handle.scan_all(tx)]
+            pins = getattr(arg, "pins", None) or []
+            if not pins:
+                return [[r[i] for i in idxs] for r in handle.scan_all(tx)]
+            # constant pins: use a prefix scan when the pinned columns are
+            # a key prefix (in order); remaining pins filter row-by-row
+            key_names = [c.name for c in handle.keys]
+            pin_map = dict(pins)
+            prefix_vals = []
+            npfx = 0
+            for kn in key_names:
+                if kn in pin_map:
+                    prefix_vals.append(pin_map[kn])
+                    npfx += 1
+                else:
+                    break
+            rest = [
+                (handle.col_index(c), v)
+                for c, v in pins
+                if c not in key_names[:npfx]
+            ]
+            it = (
+                handle.scan_prefix(tx, prefix_vals)
+                if prefix_vals
+                else handle.scan_all(tx)
+            )
+            out = []
+            for r in it:
+                if all(r[i] == v for i, v in rest):
+                    out.append([r[i] for i in idxs])
+            return out
         if arg.validity is not None:
             vld = ctx.eval_vld(arg.validity)
             return list(handle.scan_at_validity(tx, [], vld))
@@ -126,7 +155,81 @@ class FixedInput:
             db._csr_cache[ck] = out
         return out
 
+    def _hnsw_layer0_fast(self):
+        """Proximity-graph staging straight from the in-memory HNSW
+        adjacency: a named rel-arg over an index relation with pins
+        `{layer: 0}` and columns `{fr_<key>, to_<key>}` (single-Int-key
+        base) stages (src_ids, dst_ids) vectorized from the level-0
+        neighbor arrays — no KV scan, no per-row decode.  Row-for-row
+        equal to scanning the KV image (self-edges included: the image
+        stores a `(0, k, k)` membership row per node, reference
+        runtime/hnsw.rs:679).  Returns (src, dst) or None."""
+        arg, ctx = self.arg, self.ctx
+        if not isinstance(arg, FixedRuleNamedRelArg) or arg.validity is not None:
+            return None
+        if getattr(arg, "pins", None) != [("layer", 0)]:
+            return None
+        if ":" not in arg.name:
+            return None
+        db = getattr(ctx, "db", None)
+        if db is None:
+            return None
+        base_name, idx_name = arg.name.rsplit(":", 1)
+        try:
+            base = ctx.tx.get_relation(base_name)
+        except Exception:
+            return None
+        meta = base.indices.get(idx_name)
+        if meta is None or meta.get("kind") != "hnsw":
+            return None
+        if len(base.keys) != 1:
+            return None
+        kn = base.keys[0].name
+        if [c for c, _ in arg.pairs] != [f"fr_{kn}", f"to_{kn}"]:
+            return None
+        handle = ctx.tx.get_relation(arg.name)
+        handle.ensure_can_read()
+        from ..runtime.hnsw import get_hnsw_cache
+
+        cache = get_hnsw_cache(db, ctx.tx, base, idx_name, meta)
+        index = cache.index
+        n = index.n
+        if n == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        ids = cache.slot_ids_array()
+        alive = index.alive[:n]
+        nb = index.neighbors[0][:n]
+        valid = (nb >= 0) & alive[:, None]
+        valid &= np.where(nb >= 0, index.alive[np.maximum(nb, 0)], False)
+        src_slots = np.nonzero(valid)[0]
+        dst_slots = nb[valid]
+        # membership self-edges (one per alive node)
+        self_slots = np.nonzero(alive)[0]
+        src_slots = np.concatenate([src_slots, self_slots])
+        dst_slots = np.concatenate([dst_slots.astype(np.int64), self_slots])
+        return ids[src_slots], ids[dst_slots]
+
     def _as_directed_graph_impl(self, undirected: bool = False):
+        fast = self._hnsw_layer0_fast()
+        if fast is not None:
+            s_raw, d_raw = fast
+            if undirected:
+                s_raw, d_raw = (
+                    np.concatenate([s_raw, d_raw]),
+                    np.concatenate([d_raw, s_raw]),
+                )
+            vert_arr, inv = np.unique(
+                np.concatenate([s_raw, d_raw]), return_inverse=True
+            )
+            src_a = inv[: len(s_raw)]
+            dst_a = inv[len(s_raw) :]
+            order = np.argsort(src_a, kind="stable")
+            src_a, dst_a = src_a[order], dst_a[order]
+            n = len(vert_arr)
+            indptr = np.zeros(n + 1, dtype=np.int64)
+            np.add.at(indptr, src_a + 1, 1)
+            indptr = np.cumsum(indptr)
+            return indptr, dst_a, [int(v) for v in vert_arr]
         fast = self._int_pairs_fast()
         if fast is not None:
             s_raw, d_raw = fast

@@ -117,6 +117,10 @@ def destroy_relation(tx: SessionTx, name: str) -> None:
     ids = [handle.id]
     for idx_name, meta in handle.indices.items():
         ids.extend(meta.get("rel_ids", []))
+        if meta.get("kind") == "hnsw":
+            from ..runtime.hnsw_packed import drop_packed_image
+
+            drop_packed_image(store_tx, name, idx_name)
         tx.delete_relation_meta(f"{name}:{idx_name}")
     for rid in ids:
         for k, _ in list(store_tx.range_scan(rel_prefix(rid), rel_upper(rid))):

@@ -299,6 +299,7 @@ class Db:
             cur_vld,
             handle_cache=self._handle_cache,
             rel_id_alloc=self._alloc_rel_id,
+            db=self,
         )
 
     def _register_running(self, poison: Poison, payload: str) -> int:

@@ -39,11 +39,66 @@ class HnswCache:
         self.manifest = manifest
         self.key_to_slot: Dict[tuple, int] = {}
         self.slot_to_item: Dict[int, Tuple[list, int]] = {}
+        # packed mode (hnsw_packed.py): per-slot int64 base key — the dict
+        # maps stay empty until a mutation needs them (10M-entry Python
+        # dicts cost ~GBs + ~30s; serving only ever maps slots → ids)
+        self.slot_ids = None  # Optional[np.ndarray]
+        self.packed = False  # persisted as packed blobs (hnsw_packed.py)
+        self.ovl_keys: set = set()  # item keys owned by row-image overlay
+        self.scan_cache: dict = {}
         # mirrors the KV canary version this cache was built from
         self.version = 0
 
     def item_key(self, key_vals: list, field_idx: int) -> tuple:
         return (tuple(cmp_key(v) for v in key_vals), field_idx)
+
+    @property
+    def is_packed(self) -> bool:
+        return self.packed
+
+    def ensure_maps(self) -> None:
+        """Materialize key_to_slot / slot_to_item from the packed id
+        array (one-time cost, paid only by mutations on packed indexes).
+        Drops `slot_ids` afterwards so every consumer sees one source of
+        truth — the dicts — which keep tracking post-pack inserts."""
+        if self.slot_ids is None:
+            return
+        n = self.index.n
+        ids = self.slot_ids
+        for slot in range(n):
+            kv = [int(ids[slot])]
+            self.key_to_slot[self.item_key(kv, 0)] = slot
+            self.slot_to_item[slot] = (kv, 0)
+        self.slot_ids = None
+
+    def items_for_slots(self, slots):
+        """Vectorized slot → (key_vals, field) mapping; None for unknown."""
+        if self.slot_ids is not None:
+            out = []
+            for s in slots:
+                s = int(s)
+                if 0 <= s < self.index.n:
+                    out.append(([int(self.slot_ids[s])], 0))
+                else:
+                    out.append(None)
+            return out
+        return [self.slot_to_item.get(int(s)) for s in slots]
+
+    def slot_ids_array(self):
+        """int64 id per slot for single-Int-key indexes (the CSR fast
+        staging format); built from the dict on row-image caches."""
+        if self.slot_ids is not None:
+            return self.slot_ids
+        n = self.index.n
+        out = np.full(max(n, 1), np.iinfo(np.int64).min, dtype=np.int64)
+        for slot, (kv, field) in self.slot_to_item.items():
+            if field != 0 or len(kv) != 1 or not isinstance(kv[0], int):
+                raise QueryError(
+                    "proximity-graph fast staging requires a single-Int-key "
+                    "base relation"
+                )
+            out[slot] = kv[0]
+        return out
 
 
 def _cache_key(rel: str, idx: str) -> str:
@@ -106,9 +161,14 @@ def _new_index(manifest: dict) -> HnswIndex:
 
 
 def _rebuild_cache(db, tx, handle, idx_name, meta) -> HnswCache:
-    """Rebuild the in-memory index from the KV image."""
+    """Rebuild the in-memory index from the KV image (packed or rows)."""
     manifest = meta["config"]
     cache = HnswCache(_new_index(manifest), manifest)
+    if meta.get("packed"):
+        from .hnsw_packed import rebuild_cache_packed
+
+        if rebuild_cache_packed(db, tx, handle, idx_name, manifest, cache):
+            return cache
     idx_handle = tx.get_relation(f"{handle.name}:{idx_name}")
     store_tx = tx.store_tx_for(idx_handle)
     nk = len(handle.keys)
@@ -117,7 +177,7 @@ def _rebuild_cache(db, tx, handle, idx_name, meta) -> HnswCache:
     # pass 1: nodes from self-edges; vectors fetched from base rows
     nodes: Dict[tuple, dict] = {}
     edges: List[tuple] = []
-    for row in idx_handle.scan_all(store_tx):
+    for row in idx_handle.scan_all(store_tx, raw_image=True):
         layer = -int(row[0])  # stored ≤ 0; 0 = bottom
         fr_key = row[1 : 1 + nk]
         fr_field = row[1 + nk]
@@ -252,30 +312,97 @@ def create_hnsw_index(db, cfg: A.HnswIndexConfig):
         store_tx = tx.store_tx_for(handle)
         filt = _compile_filter(manifest, handle)
         nk = len(handle.keys)
+        index = cache.index
+        dt = index.dtype
+        # fast shape: single Int key + single field + no filter — vectors
+        # stream straight into the index's resident array (no 10M-element
+        # Python lists at bulk scale) and slots map to an int64 id array
+        fast_ids = (
+            nk == 1
+            and len(cfg.fields) == 1
+            and filt is None
+            and handle.keys[0].typing is not None
+            and handle.keys[0].typing.kind == "Int"
+        )
+        from .relation import rel_prefix as _rp, rel_upper as _ru
+
+        n_hint = (
+            store_tx.range_count(_rp(handle.id), _ru(handle.id))
+            if fast_ids
+            else 0
+        )
         items: list = []
         vecs: list = []
-        for row in handle.scan_all(store_tx):
-            if filt is not None and filt.eval(row) is not True:
-                continue
-            for fi, fname in enumerate(cfg.fields):
-                vec = row[handle.col_index(fname)]
+        ids_arr = None
+        n_got = 0
+        if fast_ids and n_hint:
+            index._grow(n_hint)
+            ids_arr = np.empty(n_hint, dtype=np.int64)
+            fcol = handle.col_index(cfg.fields[0])
+            for row in handle.scan_all(store_tx):
+                vec = row[fcol]
                 if vec is None:
                     continue
                 if not isinstance(vec, Vector):
                     raise IndexError_(
-                        f"column '{fname}' of '{cfg.base_relation}' is not a vector"
+                        f"column '{cfg.fields[0]}' of "
+                        f"'{cfg.base_relation}' is not a vector"
                     )
-                items.append((list(row[:nk]), fi))
-                vecs.append(np.asarray(vec.a))
-        if items:
-            data = np.stack(vecs).astype(cache.index.dtype)
+                index.vectors[n_got] = np.asarray(vec.a, dtype=dt)
+                ids_arr[n_got] = row[0]
+                n_got += 1
+            ids_arr = ids_arr[:n_got]
+        else:
+            for row in handle.scan_all(store_tx):
+                if filt is not None and filt.eval(row) is not True:
+                    continue
+                for fi, fname in enumerate(cfg.fields):
+                    vec = row[handle.col_index(fname)]
+                    if vec is None:
+                        continue
+                    if not isinstance(vec, Vector):
+                        raise IndexError_(
+                            f"column '{fname}' of '{cfg.base_relation}' is "
+                            "not a vector"
+                        )
+                    items.append((list(row[:nk]), fi))
+                    vecs.append(np.asarray(vec.a))
+            n_got = len(items)
+        if n_got:
+            if fast_ids and n_hint:
+                data = index.vectors[:n_got]
+            else:
+                data = np.stack(vecs).astype(dt)
             # wave=8192 is the measured-fastest build config (BENCH_NOTES
             # glove-1.18M); small backfills cap at the item count anyway
             slots = cache.index.bulk_build(data, wave=8192)
-            for (key_vals, fi), slot in zip(items, slots):
-                cache.key_to_slot[cache.item_key(key_vals, fi)] = slot
-                cache.slot_to_item[slot] = (key_vals, fi)
-        _sync_dirty_to_kv(cache, tx, handle, idx_handle, fresh=True)
+            if ids_arr is not None:
+                # bulk_build assigns slots 0..n-1 in scan order
+                cache.slot_ids = ids_arr
+            else:
+                for (key_vals, fi), slot in zip(items, slots):
+                    cache.key_to_slot[cache.item_key(key_vals, fi)] = slot
+                    cache.slot_to_item[slot] = (key_vals, fi)
+        from .hnsw_packed import packed_threshold, write_packed_image
+
+        if ids_arr is not None and n_got >= packed_threshold():
+            # bulk scale: persist the index as packed blobs; the index
+            # relation becomes a virtual view over them (hnsw_packed.py)
+            cache.packed = True
+            write_packed_image(cache, tx, handle, idx_handle)
+            idx_handle.packed_src = {
+                "kind": "hnsw",
+                "base": handle.name,
+                "idx": cfg.index_name,
+            }
+            tx.put_relation_meta(idx_handle)
+            tx._bind_virt(idx_handle)
+            meta["packed"] = True
+            tx.put_relation_meta(handle)
+        else:
+            if ids_arr is not None:
+                cache.ensure_maps()
+            _sync_dirty_to_kv(cache, tx, handle, idx_handle, fresh=True)
         _bump_canary(tx, idx_handle, cfg.base_relation, cfg.index_name, cache)
         tx.commit()
         db.algo_cache[_cache_key(cfg.base_relation, cfg.index_name)] = cache
@@ -373,12 +500,44 @@ def _sync_dirty_to_kv(cache: HnswCache, tx, handle, idx_handle, fresh=False) -> 
 # --------------------------------------------------------------- maintenance
 
 
+def _record_overlay(cache, tx, handle, idx_name, idx_handle, touched) -> None:
+    """Packed indexes: every slot whose adjacency this mutation dirtied
+    (plus the directly touched item keys, which may have been removed
+    from the maps already) moves to the row-image overlay — its packed
+    rows are suppressed and `_sync_dirty_to_kv` rewrites it as ordinary
+    rows (hnsw_packed.py module docstring)."""
+    if not cache.is_packed:
+        return
+    from .hnsw_packed import add_overlay_entries
+
+    entries = []
+    for key_vals, fi in touched:
+        ik = cache.item_key(list(key_vals), fi)
+        if ik not in cache.ovl_keys:
+            cache.ovl_keys.add(ik)
+            entries.append(list(key_vals) + [fi])
+    for slot in cache.index.dirty:
+        item = cache.slot_to_item.get(slot)
+        if item is None:
+            continue
+        ik = cache.item_key(item[0], item[1])
+        if ik not in cache.ovl_keys:
+            cache.ovl_keys.add(ik)
+            entries.append(list(item[0]) + [item[1]])
+    if entries:
+        add_overlay_entries(
+            tx.store_tx_for(idx_handle), handle.name, idx_name, entries
+        )
+
+
 def hnsw_put(db, tx, handle, idx_name, meta, new_row, old_row) -> None:
     cache = get_hnsw_cache(db, tx, handle, idx_name, meta)
     idx_handle = tx.get_relation(f"{handle.name}:{idx_name}")
     _bump_canary(tx, idx_handle, handle.name, idx_name, cache)
     manifest = meta["config"]
     nk = len(handle.keys)
+    if cache.is_packed:
+        cache.ensure_maps()
     filt = _compile_filter(manifest, handle)
     passes = filt is None or filt.eval(new_row) is True
     for fi, fname in enumerate(manifest["fields"]):
@@ -389,6 +548,10 @@ def hnsw_put(db, tx, handle, idx_name, meta, new_row, old_row) -> None:
             if not isinstance(vec, Vector):
                 raise IndexError_(f"column '{fname}' is not a vector")
             _insert_item(cache, new_row[:nk], fi, vec)
+    _record_overlay(
+        cache, tx, handle, idx_name, idx_handle,
+        [(new_row[:nk], fi) for fi in range(len(manifest["fields"]))],
+    )
     _sync_dirty_to_kv(cache, tx, handle, idx_handle)
 
 
@@ -398,6 +561,8 @@ def hnsw_remove(db, tx, handle, idx_name, meta, old_row) -> None:
     _bump_canary(tx, idx_handle, handle.name, idx_name, cache)
     manifest = meta["config"]
     nk = len(handle.keys)
+    if cache.is_packed:
+        cache.ensure_maps()
     for fi in range(len(manifest["fields"])):
         slot = _remove_item(cache, old_row[:nk], fi)
         _ = slot
@@ -410,6 +575,10 @@ def hnsw_remove(db, tx, handle, idx_name, meta, old_row) -> None:
             store_tx = tx.store_tx_for(idx_handle)
             for k, _ in list(store_tx.range_scan(lower, upper)):
                 store_tx.delete(k)
+    _record_overlay(
+        cache, tx, handle, idx_name, idx_handle,
+        [(old_row[:nk], fi) for fi in range(len(manifest["fields"]))],
+    )
     _sync_dirty_to_kv(cache, tx, handle, idx_handle)
 
 
@@ -518,18 +687,31 @@ def compile_hnsw_search(db, atom, binding_map, ctx, handle, meta):
             # batch the base-row point lookups (one multi_get round trip;
             # the per-row get paid full RPC latency on the remote engine)
             cand = []
-            for b, env in enumerate(envs):
-                for j in range(ids.shape[1]):
-                    slot = int(ids[b, j])
-                    if slot < 0:
-                        continue
-                    d = float(dists[b, j])
-                    if radius is not None and d > radius:
-                        continue
-                    item = cache.slot_to_item.get(slot)
-                    if item is None:
-                        continue
-                    cand.append((b, env, slot, d, item))
+            if cache.slot_ids is not None:
+                # packed serving mode: slot → id via the array, no dicts
+                sid = cache.slot_ids
+                for b, env in enumerate(envs):
+                    for j in range(ids.shape[1]):
+                        slot = int(ids[b, j])
+                        if slot < 0 or slot >= len(sid):
+                            continue
+                        d = float(dists[b, j])
+                        if radius is not None and d > radius:
+                            continue
+                        cand.append((b, env, slot, d, ([int(sid[slot])], 0)))
+            else:
+                for b, env in enumerate(envs):
+                    for j in range(ids.shape[1]):
+                        slot = int(ids[b, j])
+                        if slot < 0:
+                            continue
+                        d = float(dists[b, j])
+                        if radius is not None and d > radius:
+                            continue
+                        item = cache.slot_to_item.get(slot)
+                        if item is None:
+                            continue
+                        cand.append((b, env, slot, d, item))
             rows_b = handle.get_rows(store_tx, [c[4][0] for c in cand])
             for (b, env, slot, d, item), row in zip(cand, rows_b):
                 if row is None:

@@ -80,6 +80,11 @@ def drop_index(db, rel: str, idx: str):
         for rid in meta.get("rel_ids", []):
             for k, _ in list(store_tx.range_scan(rel_prefix(rid), rel_upper(rid))):
                 store_tx.delete(k)
+        if meta.get("kind") == "hnsw":
+            from .hnsw_packed import drop_packed_image
+
+            drop_packed_image(store_tx, rel, idx)
+            db.algo_cache.pop(f"hnsw::{rel}::{idx}", None)
         tx.delete_relation_meta(f"{rel}:{idx}")
         tx.put_relation_meta(handle)
         tx.commit()

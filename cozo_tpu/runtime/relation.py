@@ -98,6 +98,13 @@ class RelationHandle:
     rm_triggers: List[str] = field(default_factory=list)
     replace_triggers: List[str] = field(default_factory=list)
     description: str = ""
+    # virtual relation backed by a packed index image (hnsw_packed.py):
+    # {"kind": "hnsw", "base": rel, "idx": idx}.  Scans decode rows on
+    # demand from the in-memory index instead of the KV range; the KV
+    # range holds only post-build mutation overlay rows.
+    packed_src: Optional[dict] = None
+    # runtime-attached PackedHnswBinder (not serialized)
+    virt_binder: Any = None
 
     # --- serialization -------------------------------------------------------
 
@@ -114,6 +121,11 @@ class RelationHandle:
                 "rm_triggers": self.rm_triggers,
                 "replace_triggers": self.replace_triggers,
                 "description": self.description,
+                **(
+                    {"packed_src": self.packed_src}
+                    if self.packed_src is not None
+                    else {}
+                ),
             }
         )
 
@@ -131,6 +143,7 @@ class RelationHandle:
             rm_triggers=d.get("rm_triggers", []),
             replace_triggers=d.get("replace_triggers", []),
             description=d.get("description", ""),
+            packed_src=d.get("packed_src"),
         )
 
     # --- basics ----------------------------------------------------------------
@@ -204,11 +217,28 @@ class RelationHandle:
 
     # --- scans ---------------------------------------------------------------------
 
-    def scan_all(self, tx: StoreTx) -> Iterator[List[Any]]:
+    def _virt_view(self, tx):
+        if self.virt_binder is None:
+            return None
+        return self.virt_binder._view(self, tx)
+
+    def scan_all(self, tx: StoreTx, raw_image: bool = False) -> Iterator[List[Any]]:
+        if not raw_image:
+            view = self._virt_view(tx)
+            if view is not None:
+                yield from view.scan_all()
+                return
         for k, v in tx.range_scan(rel_prefix(self.id), rel_upper(self.id)):
             yield self.decode_row(k, v)
 
-    def scan_prefix(self, tx: StoreTx, prefix_vals) -> Iterator[List[Any]]:
+    def scan_prefix(
+        self, tx: StoreTx, prefix_vals, raw_image: bool = False
+    ) -> Iterator[List[Any]]:
+        if not raw_image:
+            view = self._virt_view(tx)
+            if view is not None:
+                yield from view.scan_prefix(prefix_vals)
+                return
         lower = encode_key(self.id, prefix_vals)
         upper = lower + b"\xff\xff\xff\xff\xff\xff\xff\xff"
         for k, v in tx.range_scan(lower, upper):
@@ -218,6 +248,12 @@ class RelationHandle:
         self, tx: StoreTx, prefix_vals, lo_val, lo_incl, hi_val, hi_incl
     ) -> Iterator[List[Any]]:
         """Prefix scan with a range bound on the column right after the prefix."""
+        view = self._virt_view(tx)
+        if view is not None:
+            yield from view.scan_bounded(
+                prefix_vals, lo_val, lo_incl, hi_val, hi_incl
+            )
+            return
         base = encode_key(self.id, prefix_vals)
         if lo_val is not None:
             buf = bytearray()
@@ -238,7 +274,13 @@ class RelationHandle:
         for k, v in tx.range_scan(lower, upper):
             yield self.decode_row(k, v)
 
-    def get_row(self, tx: StoreTx, key_vals) -> Optional[List[Any]]:
+    def get_row(
+        self, tx: StoreTx, key_vals, raw_image: bool = False
+    ) -> Optional[List[Any]]:
+        if not raw_image:
+            view = self._virt_view(tx)
+            if view is not None:
+                return view.get_row(key_vals)
         k = encode_key(self.id, key_vals)
         v = tx.get(k)
         if v is None:
@@ -251,6 +293,9 @@ class RelationHandle:
     def get_rows(self, tx: StoreTx, key_vals_list) -> List[Optional[List[Any]]]:
         """Batched point lookups: one `multi_get` (a single round trip on
         the remote engine) instead of N gets."""
+        view = self._virt_view(tx)
+        if view is not None:
+            return [view.get_row(kv) for kv in key_vals_list]
         keys = [encode_key(self.id, kv) for kv in key_vals_list]
         out: List[Optional[List[Any]]] = []
         for kv, v in zip(key_vals_list, tx.multi_get(keys)):
@@ -264,6 +309,9 @@ class RelationHandle:
         return out
 
     def exists(self, tx: StoreTx, key_vals) -> bool:
+        view = self._virt_view(tx)
+        if view is not None:
+            return view.exists(key_vals)
         return tx.exists(encode_key(self.id, key_vals))
 
     def scan_at_validity(

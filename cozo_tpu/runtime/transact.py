@@ -18,12 +18,14 @@ class SessionTx:
         cur_vld: int,
         handle_cache: Optional[dict] = None,
         rel_id_alloc: Optional[Any] = None,
+        db: Optional[Any] = None,
     ) -> None:
         self.store_tx = store_tx
         self._temp_store = temp_store
         self._temp_tx = None  # created on first `_rel` access (OLTP hot path
         # never touches temp storage; a SortedDict per query is measurable)
         self.cur_vld = cur_vld
+        self.db = db  # backref for packed-index virtual views
         self._rel_cache: Dict[str, RelationHandle] = {}
         # db-level (raw_bytes, handle) cache shared across queries; validated
         # against the raw catalog bytes so DDL invalidates naturally
@@ -64,10 +66,18 @@ class SessionTx:
                 return h
         h = RelationHandle.from_json(raw.decode("utf-8"))
         h.is_temp = name.startswith("_")
+        self._bind_virt(h)
         self._rel_cache[name] = h
         if shared is not None and not for_update:
             shared[name] = (raw, h)
         return h
+
+    def _bind_virt(self, h: RelationHandle) -> None:
+        if h.packed_src is not None and h.virt_binder is None and self.db is not None:
+            from .hnsw_packed import PackedHnswBinder
+
+            ps = h.packed_src
+            h.virt_binder = PackedHnswBinder(self.db, ps["base"], ps["idx"])
 
     def relation_exists(self, name: str) -> bool:
         tx = self.temp_tx if name.startswith("_") else self.store_tx
