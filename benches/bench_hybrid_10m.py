@@ -1,0 +1,207 @@
+"""BASELINE config #5 at FULL scale: hybrid recursive Datalog + HNSW
+vector-pivot joins over 10M x 768-d embeddings + community detection on
+the proximity graph — every phase through the engine (`Db`), not the ops
+layer (VERDICT r2 missing #2).
+
+What full scale exercises that 1.18M did not:
+  - the DDL build persists a *packed KV image* (runtime/hnsw_packed.py)
+    instead of ~330M discrete edge rows;
+  - the device build runs on the int8 table (ops/bulk_build.py
+    `_build_step_fn_i8`) because the f32 table (30.7 GB) exceeds HBM;
+  - serving inherits the build's int8 table (no host re-quantization)
+    and re-ranks candidates against the host f32 rows;
+  - the proximity graph stages straight from the in-memory adjacency
+    via the fixed-rule constant-pin arg (`*item:ix{layer: 0, ...}`).
+
+Ground truth for recall: exhaustive int8 device scan with kf=4096
+over-fetch + exact f32 host re-rank (miss probability « 0.1%).
+
+Run: python benches/bench_hybrid_10m.py [n] [out.json]
+Reference anchors: runtime/hnsw.rs:679,869; README.md:52-58.
+"""
+
+import json
+import os
+import resource
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+D = 768
+NQ = 4096
+K = 10
+N_CLUSTERS = 4096
+
+PHASES = []
+
+
+def emit(phase, seconds, **kw):
+    rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
+    rec = {"phase": phase, "seconds": round(seconds, 2),
+           "peak_rss_mb": rss, **kw}
+    PHASES.append(rec)
+    print(json.dumps(rec), flush=True)
+
+
+def gen_clustered(n, seed=42):
+    """Streaming clustered embeddings (glove_like's distribution without
+    its second full-size permutation copy — at 10M x 768 that copy alone
+    is 30.7 GB)."""
+    rng = np.random.default_rng(seed)
+    w = 1.0 / np.arange(1, N_CLUSTERS + 1) ** 0.9
+    w /= w.sum()
+    centers = (rng.standard_normal((N_CLUSTERS, D)) * 4.0).astype(np.float32)
+    scales = np.exp(rng.standard_normal((N_CLUSTERS, D)) * 0.6).astype(
+        np.float32
+    )
+    out = np.empty((n, D), dtype=np.float32)
+    BLK = 262_144
+    for s0 in range(0, n, BLK):
+        m = min(BLK, n - s0)
+        cid = rng.choice(N_CLUSTERS, size=m, p=w)
+        blk = rng.standard_normal((m, D)).astype(np.float32)
+        blk *= scales[cid]
+        blk += centers[cid]
+        blk *= np.exp(rng.standard_normal(m) * 0.25)[:, None].astype(
+            np.float32
+        )
+        out[s0 : s0 + m] = blk
+    return out
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+    out_path = sys.argv[2] if len(sys.argv) > 2 else None
+
+    from cozo_tpu.runtime.db import Db
+
+    t0 = time.time()
+    data = gen_clustered(n + NQ)
+    qs = data[n:].copy()
+    emit("datagen", time.time() - t0, rows=n, dim=D)
+
+    db = Db("mem")
+    db.run_script(f":create item {{id: Int => v: <F32; {D}>}}")
+    t0 = time.time()
+    B = 25_000
+    for s in range(0, n, B):
+        rows = [[int(s + i), data[s + i]] for i in range(min(B, n - s))]
+        db.run_script("?[id, v] <- $rows :put item {id => v}", {"rows": rows})
+    el = time.time() - t0
+    emit("ingest", el, rows=n, rows_per_s=round(n / el))
+    del data  # KV owns the rows now; drop the 30 GB staging array
+
+    t0 = time.time()
+    db.run_script(
+        f"::hnsw create item:ix {{dim: {D}, m: 16, dtype: F32, fields: [v], "
+        "distance: Cosine, ef_construction: 200}"
+    )
+    el = time.time() - t0
+    emit("hnsw_ddl_bulk_build", el, n=n, rows_per_s=round(n / el))
+
+    # confirm the packed image actually engaged at this scale
+    tx = db._new_session(False, 0)
+    packed = tx.get_relation("item:ix").packed_src is not None
+    tx.abort()
+    emit("packed_image", 0.0, engaged=packed)
+
+    # stored query table for the vector-pivot join
+    db.run_script(f":create q {{qid: Int => qv: <F32; {D}>}}")
+    for s in range(0, NQ, B):
+        db.run_script(
+            "?[qid, qv] <- $rows :put q {qid => qv}",
+            {"rows": [[int(i), qs[i]] for i in range(s, min(s + B, NQ))]},
+        )
+
+    join = (
+        "?[qid, id, d] := *q{qid, qv}, "
+        f"~item:ix{{id | query: qv, k: {K}, ef: 64, bind_distance: d}}"
+    )
+    t0 = time.time()
+    out = db.run_script(join)  # cold (compile + device staging)
+    emit("vector_pivot_join_cold", time.time() - t0, queries=NQ,
+         rows=len(out.rows))
+    t0 = time.time()
+    out = db.run_script(join)
+    el = time.time() - t0
+    emit("vector_pivot_join", el, queries=NQ, rows=len(out.rows),
+         qps=round(NQ / el))
+
+    # recall vs exhaustive int8 scan + exact f32 re-rank (high-overfetch)
+    t0 = time.time()
+    got = {}
+    for r in out.rows:
+        got.setdefault(r[0], []).append(r[1])
+    from cozo_tpu.runtime.hnsw import get_hnsw_cache
+
+    tx = db._new_session(False, 0)
+    base = tx.get_relation("item")
+    cache = get_hnsw_cache(db, tx, base, "ix", base.indices["ix"])
+    idx = cache.index
+    from cozo_tpu.ops.quant_knn import QuantSweepTable, quant_search
+
+    qt = idx._quant_sweep
+    if qt is None:
+        qt = QuantSweepTable().load(
+            idx.vectors[: idx.n], "Cosine", alive=idx.alive[: idx.n]
+        )
+    NEVAL = 512
+    gt_ids, _ = quant_search(
+        idx.vectors, qt, qs[:NEVAL], K, overfetch=4096 // K, rt=1.0
+    )
+    hits = 0
+    for i in range(NEVAL):
+        hits += len(set(got.get(i, [])) & set(gt_ids[i].tolist()))
+    rec = hits / (NEVAL * K)
+    tx.abort()
+    emit("recall_eval", time.time() - t0, recall_at_10=round(rec, 4),
+         eval_queries=NEVAL)
+
+    # recursive 2-hop semantic expansion through the search atom
+    two_hop = (
+        "first[id, v2] := ~item:ix{id, v: v2 | query: qv, k: 4, ef: 64}, "
+        "qv = vec($q)\n"
+        "?[id2] := first[id, v2], "
+        "~item:ix{id: id2 | query: v2, k: 4, ef: 64}, id2 != id"
+    )
+    db.run_script(two_hop, {"q": qs[0]})
+    t0 = time.time()
+    reps = 8
+    for r in range(reps):
+        out2 = db.run_script(two_hop, {"q": qs[r]})
+    emit("recursive_2hop", (time.time() - t0) / reps, rows=len(out2.rows))
+
+    # proximity graph -> device PageRank via the constant-pin staging
+    pr_script = (
+        "?[n, s] <~ PageRank(*item:ix{layer: 0, fr_id, to_id})\n:limit 10"
+    )
+    t0 = time.time()
+    db.run_script(pr_script)
+    emit("proximity_pagerank_cold", time.time() - t0)
+    t0 = time.time()
+    db.run_script(pr_script)
+    emit("proximity_pagerank_warm", time.time() - t0)
+
+    # community detection on the proximity graph
+    lp_script = (
+        "?[l, n] <~ LabelPropagation(*item:ix{layer: 0, fr_id, to_id}, "
+        "undirected: true)\n:limit 10"
+    )
+    t0 = time.time()
+    db.run_script(lp_script)
+    emit("community_labelprop_cold", time.time() - t0)
+    t0 = time.time()
+    db.run_script(lp_script)
+    emit("community_labelprop_warm", time.time() - t0)
+
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump({"n": n, "dim": D, "phases": PHASES}, f, indent=1)
+        print(f"# wrote {out_path}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

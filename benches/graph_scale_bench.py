@@ -55,7 +55,7 @@ def main():
 
     w = np.ones(len(dst), dtype=np.float32)
     t0 = time.time()
-    dists, parents = sssp_device(indptr, dst, w, [0], cache_key=ck + "w")
+    dists, parents = sssp_device(indptr, dst, w, [0], cache_key=ck)
     dt = time.time() - t0
     reached = int(np.isfinite(dists[0]).sum())
     print(f"sssp 1 source: {dt:.2f}s (reached {reached} nodes)")

@@ -203,6 +203,122 @@ def _build_step_fn(n_chunks: int, chunk: int, d_pad: int, W: int, P: int,
     return run
 
 
+_STEP_FNS_I8 = {}
+
+
+def _build_step_fn_i8(n_chunks: int, chunk: int, d_pad: int, W: int, P: int,
+                      mmax: int, metric: str, rt: float):
+    """int8 variant of `_build_step_fn` for tables past the f32-in-HBM
+    budget (10M x 768 = 30 GB f32 vs 7.7 GB int8; COZO_TPU_F32_TABLE_MAX).
+
+    Rows are quantized ON DEVICE per wave (max-abs per-row scale, the
+    `ops/quant_knn.py` scheme); queries stay exact — asymmetric scoring:
+        score = (q_bf16 . row_i8) * scale_row + bias_row
+    The candidate-pool distances and the selection heuristic's pairwise
+    distances carry ~0.4% quantization noise, which neighbor selection
+    tolerates (serving corrects final ranks by exact re-rank anyway)."""
+    jax, jnp = _jx()
+    key = (n_chunks, chunk, d_pad, W, P, mmax, metric, rt)
+    fn = _STEP_FNS_I8.get(key)
+    if fn is not None:
+        return fn
+
+    from functools import partial as _partial
+
+    @_partial(jax.jit, donate_argnums=(0, 1, 2))
+    def run(tbl_i8, scale, bias, new_rows, new_bias, cs, rs, slots):
+        mx = jnp.max(jnp.abs(new_rows), axis=1)
+        sc = jnp.where(mx > 0, mx / 127.0, 1.0).astype(jnp.float32)
+        q_i8 = jnp.clip(
+            jnp.round(new_rows / sc[:, None]), -127, 127
+        ).astype(jnp.int8)
+        tbl_i8 = tbl_i8.at[cs, rs].set(q_i8)
+        scale = scale.at[cs, rs].set(
+            jnp.where(jnp.isfinite(new_bias), sc, 0.0)
+        )
+        bias = bias.at[cs, rs].set(new_bias)
+        if metric == "L2":
+            qs = (new_rows * 0.5).astype(jnp.bfloat16)
+        else:
+            qs = new_rows.astype(jnp.bfloat16)
+
+        def body(_, xs):
+            cv, csc, cb = xs
+            s = jax.lax.dot_general(
+                qs, cv.astype(jnp.bfloat16),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * csc[None, :] + cb[None, :]
+            nd, ni = jax.lax.approx_max_k(s, P + 1, recall_target=rt)
+            return None, (nd, ni)
+
+        _, (nds, nis) = jax.lax.scan(body, None, (tbl_i8, scale, bias))
+        offs = (jnp.arange(n_chunks, dtype=jnp.int32) * chunk)[None, :, None]
+        alld = jnp.moveaxis(nds, 0, 1).reshape(W, n_chunks * (P + 1))
+        alli = (jnp.moveaxis(nis, 0, 1) + offs).reshape(W, n_chunks * (P + 1))
+        if n_chunks == 1:
+            scores, ids = alld, alli
+        else:
+            scores, sel_t = jax.lax.top_k(alld, P + 1)
+            ids = jnp.take_along_axis(alli, sel_t, axis=1)
+        scores = jnp.where(ids == slots[:, None], -jnp.inf, scores)
+        scores, ti = jax.lax.top_k(scores, P)
+        pool_ids = jnp.take_along_axis(ids, ti, axis=1)
+        if metric == "L2":
+            qn = jnp.sum(
+                new_rows.astype(jnp.float32) ** 2, axis=1, keepdims=True
+            ) * 0.25
+            pool_d = qn - scores
+        else:
+            pool_d = 1.0 - scores
+        pool_d = jnp.where(jnp.isfinite(scores), pool_d, jnp.inf)
+
+        # pairwise candidate distances from dequantized rows
+        flat = tbl_i8.reshape(-1, d_pad)
+        sflat = scale.reshape(-1)
+        bflat = bias.reshape(-1)
+        safe = jnp.where(pool_ids >= 0, pool_ids, 0)
+        rows = flat[safe].astype(jnp.bfloat16) * sflat[safe][
+            ..., None
+        ].astype(jnp.bfloat16)
+        b = bflat[safe]
+        dots = jnp.einsum(
+            "wpd,wqd->wpq", rows, rows, preferred_element_type=jnp.float32
+        )
+        if metric == "L2":
+            pair = -b[:, :, None] - b[:, None, :] - dots * 0.5
+        else:
+            pair = 1.0 - dots
+        valid = (pool_ids >= 0) & jnp.isfinite(pool_d)
+
+        def sel_body(i, state):
+            dominated, count, sel = state
+            can = (~dominated[:, i]) & (count < mmax) & valid[:, i]
+            sel = sel.at[:, i].set(can)
+            count = count + can.astype(jnp.int32)
+            dominated = dominated | (can[:, None] & (pair[:, i, :] < pool_d))
+            return dominated, count, sel
+
+        dominated = jnp.zeros((W, P), bool)
+        count = jnp.zeros((W,), jnp.int32)
+        sel = jnp.zeros((W, P), bool)
+        _, _, sel = jax.lax.fori_loop(0, P, sel_body, (dominated, count, sel))
+        packed = jnp.concatenate(
+            [
+                pool_ids.astype(jnp.int32),
+                jax.lax.bitcast_convert_type(
+                    pool_d.astype(jnp.float32), jnp.int32
+                ),
+                sel.astype(jnp.int32),
+            ],
+            axis=1,
+        )
+        return tbl_i8, scale, bias, packed
+
+    _STEP_FNS_I8[key] = run
+    return run
+
+
 def bulk_build_device(index, data: np.ndarray, wave: int = 4096,
                       pool_size: Optional[int] = None) -> list:
     """Fresh build of `index` (must be empty) from `data`. Returns slots."""
@@ -219,16 +335,26 @@ def bulk_build_device(index, data: np.ndarray, wave: int = 4096,
     # the device table starts as zeros ON DEVICE (dead bias) — vectors
     # cross the host→device link exactly once, wave by wave
     index._grow(n_new)
-    st = SweepTable()
-    st.reserve = n_new
-    index._sweep_table = st
     from .exact_knn import _chunking
 
     chunk, n_chunks = _chunking(n_new)
     d_pad = max(128, int(math.ceil(index.dim / 128) * 128))
-    st.chunk, st.n_chunks, st.d_pad = chunk, n_chunks, d_pad
-    st.tbl = jnp.zeros((n_chunks, chunk, d_pad), jnp.float32)
-    st.bias = jnp.full((n_chunks, chunk), -jnp.inf, jnp.float32)
+    # past the f32-in-HBM budget the build runs on an int8 table
+    # (quantize-on-device, asymmetric scoring — see _build_step_fn_i8)
+    budget = int(os.environ.get("COZO_TPU_F32_TABLE_MAX", 8 << 30))
+    use_i8 = n_chunks * chunk * d_pad * 4 > budget
+    st = None
+    if use_i8:
+        tbl_i8 = jnp.zeros((n_chunks, chunk, d_pad), jnp.int8)
+        tbl_scale = jnp.zeros((n_chunks, chunk), jnp.float32)
+        tbl_bias = jnp.full((n_chunks, chunk), -jnp.inf, jnp.float32)
+    else:
+        st = SweepTable()
+        st.reserve = n_new
+        index._sweep_table = st
+        st.chunk, st.n_chunks, st.d_pad = chunk, n_chunks, d_pad
+        st.tbl = jnp.zeros((n_chunks, chunk, d_pad), jnp.float32)
+        st.bias = jnp.full((n_chunks, chunk), -jnp.inf, jnp.float32)
 
     # level 0 link bookkeeping (vectorized reverse links need distances)
     cap = index.vectors.shape[0]
@@ -281,16 +407,27 @@ def bulk_build_device(index, data: np.ndarray, wave: int = 4096,
         # (measured recall parity at 50K: 0.991 vs 0.981 at rt=0.99 —
         # reverse links repair the tail) and approx_max_k at 0.9 costs
         # ~2.4x less than at 0.99 (BENCH_NOTES second pass)
-        step = _build_step_fn(
-            n_chunks, chunk, d_pad, w_pad, P, m0, index.distance, 0.9
-        )
-        st.tbl, st.bias, packed_d = step(
-            st.tbl, st.bias, jnp.asarray(rows_w), jnp.asarray(bias_w),
-            jnp.asarray(cs), jnp.asarray(rs),
-            jnp.asarray(slots_p.astype(np.int32)),
-        )
-        st.version = index.version
-        st.n_slots = index.n
+        if use_i8:
+            step = _build_step_fn_i8(
+                n_chunks, chunk, d_pad, w_pad, P, m0, index.distance, 0.9
+            )
+            tbl_i8, tbl_scale, tbl_bias, packed_d = step(
+                tbl_i8, tbl_scale, tbl_bias,
+                jnp.asarray(rows_w), jnp.asarray(bias_w),
+                jnp.asarray(cs), jnp.asarray(rs),
+                jnp.asarray(slots_p.astype(np.int32)),
+            )
+        else:
+            step = _build_step_fn(
+                n_chunks, chunk, d_pad, w_pad, P, m0, index.distance, 0.9
+            )
+            st.tbl, st.bias, packed_d = step(
+                st.tbl, st.bias, jnp.asarray(rows_w), jnp.asarray(bias_w),
+                jnp.asarray(cs), jnp.asarray(rs),
+                jnp.asarray(slots_p.astype(np.int32)),
+            )
+            st.version = index.version
+            st.n_slots = index.n
         index.sweep_pending.clear()
         packed = np.asarray(packed_d)[:W]  # single device pull per wave
         pool_ids = packed[:, :P].astype(np.int64)
@@ -422,5 +559,21 @@ def bulk_build_device(index, data: np.ndarray, wave: int = 4096,
                 flush=True,
             )
         pos = end
+
+    if use_i8 and index.distance in ("Cosine", "IP"):
+        # hand the finished int8 table to the serving path: the build's
+        # storage form (cosine rows pre-normalized, max-abs row scales)
+        # is exactly `QuantSweepTable.quantize_rows` form, so serving
+        # starts without re-quantizing 10M rows through the host
+        from .quant_knn import QuantSweepTable
+
+        qt = QuantSweepTable()
+        qt.tbl, qt.scales = tbl_i8, tbl_scale
+        qt.chunk, qt.n_chunks, qt.d_pad = chunk, n_chunks, d_pad
+        qt.n = n_new
+        qt.distance = index.distance
+        qt.version = index.version
+        index._quant_sweep = qt
+        index._quant_sweep_version = index.version
 
     return slots_all.tolist()
