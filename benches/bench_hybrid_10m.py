@@ -62,7 +62,7 @@ def gen_clustered(n, seed=42):
     for s0 in range(0, n, BLK):
         m = min(BLK, n - s0)
         cid = rng.choice(N_CLUSTERS, size=m, p=w)
-        blk = rng.standard_normal((m, D)).astype(np.float32)
+        blk = rng.standard_normal((m, D), dtype=np.float32)
         blk *= scales[cid]
         blk += centers[cid]
         blk *= np.exp(rng.standard_normal(m) * 0.25)[:, None].astype(
@@ -186,9 +186,12 @@ def main():
     emit("proximity_pagerank_warm", time.time() - t0)
 
     # community detection on the proximity graph
+    # degree_cap: hub in-neighborhoods sampled at 128 so the dense device
+    # kernel applies (exact for ~99.9% of proximity-graph nodes; the sort
+    # kernel would pay ~100s/iteration in TPU bitonic sorts at 660M edges)
     lp_script = (
         "?[l, n] <~ LabelPropagation(*item:ix{layer: 0, fr_id, to_id}, "
-        "undirected: true)\n:limit 10"
+        "undirected: true, degree_cap: 128)\n:limit 10"
     )
     t0 = time.time()
     db.run_script(lp_script)

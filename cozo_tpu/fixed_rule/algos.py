@@ -947,6 +947,10 @@ class LabelPropagation(FixedRule):
     def run(self, payload, out_put, poison):
         undirected = payload.bool_option("undirected", False)
         max_iter = payload.int_option("max_iter", 10)
+        # extension over the reference's options (label_propagation.rs):
+        # cap hub in-neighborhoods at `degree_cap` (highest-weight edges)
+        # so huge power-law graphs stay on the dense device kernel
+        degree_cap = payload.int_option("degree_cap", 0)
         indptr, dst, w, verts = _build_adj_w(payload, True)
         n = len(verts)
         if len(dst) >= TPU_EDGE_THRESHOLD:
@@ -962,6 +966,7 @@ class LabelPropagation(FixedRule):
                     w=w,
                     iterations=max_iter,
                     cache_key=graph_content_key(indptr, dst),
+                    degree_cap=degree_cap,
                 )
                 _check(poison)
                 remap: Dict[int, int] = {}

@@ -370,7 +370,15 @@ def bulk_build_device(index, data: np.ndarray, wave: int = 4096,
     log = os.environ.get("COZO_TPU_BUILD_LOG") == "1"
     slots_all = np.arange(n_new, dtype=np.int64)
     pos = 0
-    t_wave = time.time()
+    tstate = [time.time()]
+    pending = None
+
+    def _process_wave(*args):
+        _bulk_process_wave(
+            index, data, levels, nb0_count, link_d0, P, m0, cap, n_new,
+            wave, log, tstate, *args,
+        )
+
     while pos < n_new:
         end = min(pos + wave, n_new)
         W = end - pos
@@ -429,136 +437,18 @@ def bulk_build_device(index, data: np.ndarray, wave: int = 4096,
             st.version = index.version
             st.n_slots = index.n
         index.sweep_pending.clear()
-        packed = np.asarray(packed_d)[:W]  # single device pull per wave
-        pool_ids = packed[:, :P].astype(np.int64)
-        pool_d = np.ascontiguousarray(packed[:, P : 2 * P]).view(np.float32)
-        sel = packed[:, 2 * P :] != 0
-        ph_sweep = time.time() - t_ph
-        ph_select = 0.0
-        t_ph = time.time()
-
-        # -- 4. out-links + vectorized reverse links at level 0
-        nb0 = index.neighbors[0]
-        w_idx, p_idx = np.nonzero(sel)
-        sel_frm = pool_ids[w_idx, p_idx].astype(np.int64)  # link target
-        sel_d = pool_d[w_idx, p_idx]
-        sel_to = slots[w_idx]
-
-        # out-links: group by wave row (w_idx is sorted; positions within
-        # each row are in distance order already)
-        row_start = np.searchsorted(w_idx, np.arange(W))
-        row_end = np.searchsorted(w_idx, np.arange(W) + 1)
-        counts_out = (row_end - row_start).astype(np.int32)
-        col = np.arange(len(w_idx)) - row_start[w_idx]
-        keep = col < m0
-        nb0[slots[w_idx[keep]], col[keep]] = sel_frm[keep]
-        link_d0[slots[w_idx[keep]], col[keep]] = sel_d[keep]
-        nb0_count[slots] = np.minimum(counts_out, m0)
-
-        # reverse links: for each selected neighbor frm, append `to`.
-        # Drop duplicate edges first (frm may be a wave peer whose
-        # out-links already include `to`) so in-group positions are dense.
-        in_wave = sel_frm >= pos
-        dup = np.zeros(len(sel_frm), bool)
-        if in_wave.any():
-            iw = np.nonzero(in_wave)[0]
-            dup[iw] = (nb0[sel_frm[iw]] == sel_to[iw, None]).any(axis=1)
-        keep_rl = ~dup
-        frm_order = np.argsort(sel_frm[keep_rl], kind="stable")
-        r_frm = sel_frm[keep_rl][frm_order]
-        r_to = sel_to[keep_rl][frm_order]
-        r_d = sel_d[keep_rl][frm_order]
-        uniq, grp_start, grp_counts = np.unique(
-            r_frm, return_index=True, return_counts=True
-        )
-        cum = np.arange(len(r_frm)) - grp_start[
-            np.searchsorted(uniq, r_frm)
-        ]  # position within group
-        base = nb0_count[r_frm]
-        tgt = base + cum
-        fits = tgt < m0
-        overflow_mask = tgt >= m0
-        nb0[r_frm[fits], tgt[fits]] = r_to[fits]
-        link_d0[r_frm[fits], tgt[fits]] = r_d[fits]
-        # counts reflect only appended-in-place entries:
-        filled = np.zeros(cap, dtype=np.int32)
-        np.add.at(filled, r_frm[fits], 1)
-        nb0_count[uniq] = nb0_count[uniq] + filled[uniq]
-
-        # overflow rows: shrink to the m0 closest using stored distances
-        over = np.unique(r_frm[overflow_mask])
-        if len(over) > 0:
-            max_add = int(grp_counts.max())
-            K = m0 + max_add
-            cand_ids = np.full((len(over), K), -1, dtype=np.int64)
-            cand_d = np.full((len(over), K), np.inf, dtype=np.float32)
-            cand_ids[:, :m0] = nb0[over]
-            cand_d[:, :m0] = link_d0[over]
-            # gather this wave's additions per overflow row
-            pos_of = {f: i for i, f in enumerate(over)}
-            fill = np.zeros(len(over), dtype=np.int32)
-            om = overflow_mask
-            for f, t, dd in zip(r_frm[om], r_to[om], r_d[om]):
-                i = pos_of[f]
-                j = m0 + fill[i]
-                if j < K:
-                    cand_ids[i, j] = t
-                    cand_d[i, j] = dd
-                    fill[i] += 1
-            part = np.argpartition(cand_d, m0 - 1, axis=1)[:, :m0]
-            sort_in = np.take_along_axis(cand_d, part, axis=1)
-            srt = np.argsort(sort_in, axis=1, kind="stable")
-            part = np.take_along_axis(part, srt, axis=1)
-            nb0[over] = np.take_along_axis(cand_ids, part, axis=1)
-            link_d0[over] = np.take_along_axis(cand_d, part, axis=1)
-            nb0_count[over] = (nb0[over] >= 0).sum(axis=1).astype(np.int32)
-
-        index.dirty.update(slots.tolist())
-        index.dirty.update(np.unique(sel_frm).tolist())
-        index.dev_pending.update(slots.tolist())
-        index.dev_pending.update(np.unique(sel_frm).tolist())
-
-        ph_links = time.time() - t_ph
-        t_ph = time.time()
-
-        # -- 5. upper levels: per-node host heuristic (few nodes)
-        hi = np.nonzero(levels[pos:end] >= 1)[0]
-        for j in hi.tolist():
-            slot = int(slots[j])
-            lvl = int(levels[pos + j])
-            pool_l = [
-                (float(d), int(c))
-                for d, c in zip(pool_d[j], pool_ids[j])
-                if c >= 0 and np.isfinite(d) and index.levels[c] >= 1
-            ]
-            for l in range(1, lvl + 1):
-                cands_l = [(d, c) for d, c in pool_l if index.levels[c] >= l]
-                if not cands_l:
-                    continue
-                selected = index._select_neighbors(batch[j], cands_l, l)
-                index._set_neighbors(l, slot, selected[: index.m_max])
-                for nb_ in selected[: index.m_max]:
-                    index._add_link(l, nb_, slot)
-
-        # entry point: highest level so far
-        if index.entry < 0 or levels[pos:end].max(initial=-1) > int(
-            index.levels[index.entry]
-        ):
-            cand = pos + int(np.argmax(levels[pos:end]))
-            index.entry = cand
-
-        if log and (end // wave) % 16 == 0:
-            el = time.time() - t_wave
-            t_wave = time.time()
-            ph_upper = time.time() - t_ph
-            print(
-                f"# bulk_build: {end}/{n_new} ({el/16:.2f}s/wave; last: "
-                f"sweep {ph_sweep:.2f} select {ph_select:.2f} "
-                f"links {ph_links:.2f} upper {ph_upper:.2f})",
-                file=sys.stderr,
-                flush=True,
-            )
+        ph_dispatch = time.time() - t_ph
+        # -- pipeline: process the PREVIOUS wave's results while this
+        # wave computes on device (the packed pull pays the relay's
+        # 1-5s fixed readback latency; overlapping it with the next
+        # wave's sweep removes it from the critical path)
+        if pending is not None:
+            _process_wave(*pending)
+        pending = (slots, pos, end, W, packed_d, ph_dispatch)
         pos = end
+
+    if pending is not None:
+        _process_wave(*pending)
 
     if use_i8 and index.distance in ("Cosine", "IP"):
         # hand the finished int8 table to the serving path: the build's
@@ -577,3 +467,141 @@ def bulk_build_device(index, data: np.ndarray, wave: int = 4096,
         index._quant_sweep_version = index.version
 
     return slots_all.tolist()
+
+
+def _bulk_process_wave(index, data, levels, nb0_count, link_d0, P, m0,
+                       cap, n_new, wave, log, tstate,
+                       slots, pos, end, W, packed_d, ph_dispatch):
+    """Host half of one build wave: pull the packed device results and
+    apply out-links, vectorized reverse links, overflow shrink, and the
+    upper-level heuristic.  Runs while the NEXT wave's device step is in
+    flight (see the pipeline note in `bulk_build_device`)."""
+    t_ph = time.time()
+    batch = data[pos:end]
+    packed = np.asarray(packed_d)[:W]  # single device pull per wave
+    pool_ids = packed[:, :P].astype(np.int64)
+    pool_d = np.ascontiguousarray(packed[:, P : 2 * P]).view(np.float32)
+    sel = packed[:, 2 * P :] != 0
+    ph_pull = time.time() - t_ph
+    t_ph = time.time()
+
+    # -- 4. out-links + vectorized reverse links at level 0
+    nb0 = index.neighbors[0]
+    w_idx, p_idx = np.nonzero(sel)
+    sel_frm = pool_ids[w_idx, p_idx].astype(np.int64)  # link target
+    sel_d = pool_d[w_idx, p_idx]
+    sel_to = slots[w_idx]
+
+    # out-links: group by wave row (w_idx is sorted; positions within
+    # each row are in distance order already)
+    row_start = np.searchsorted(w_idx, np.arange(W))
+    row_end = np.searchsorted(w_idx, np.arange(W) + 1)
+    counts_out = (row_end - row_start).astype(np.int32)
+    col = np.arange(len(w_idx)) - row_start[w_idx]
+    keep = col < m0
+    nb0[slots[w_idx[keep]], col[keep]] = sel_frm[keep]
+    link_d0[slots[w_idx[keep]], col[keep]] = sel_d[keep]
+    nb0_count[slots] = np.minimum(counts_out, m0)
+
+    # reverse links: for each selected neighbor frm, append `to`.
+    # Drop duplicate edges first (frm may be a wave peer whose
+    # out-links already include `to`) so in-group positions are dense.
+    in_wave = sel_frm >= pos
+    dup = np.zeros(len(sel_frm), bool)
+    if in_wave.any():
+        iw = np.nonzero(in_wave)[0]
+        dup[iw] = (nb0[sel_frm[iw]] == sel_to[iw, None]).any(axis=1)
+    keep_rl = ~dup
+    frm_order = np.argsort(sel_frm[keep_rl], kind="stable")
+    r_frm = sel_frm[keep_rl][frm_order]
+    r_to = sel_to[keep_rl][frm_order]
+    r_d = sel_d[keep_rl][frm_order]
+    uniq, grp_start, grp_counts = np.unique(
+        r_frm, return_index=True, return_counts=True
+    )
+    cum = np.arange(len(r_frm)) - grp_start[
+        np.searchsorted(uniq, r_frm)
+    ]  # position within group
+    base = nb0_count[r_frm]
+    tgt = base + cum
+    fits = tgt < m0
+    overflow_mask = tgt >= m0
+    nb0[r_frm[fits], tgt[fits]] = r_to[fits]
+    link_d0[r_frm[fits], tgt[fits]] = r_d[fits]
+    # counts reflect only appended-in-place entries:
+    filled = np.zeros(cap, dtype=np.int32)
+    np.add.at(filled, r_frm[fits], 1)
+    nb0_count[uniq] = nb0_count[uniq] + filled[uniq]
+
+    # overflow rows: shrink to the m0 closest using stored distances
+    over = np.unique(r_frm[overflow_mask])
+    if len(over) > 0:
+        max_add = int(grp_counts.max())
+        K = m0 + max_add
+        cand_ids = np.full((len(over), K), -1, dtype=np.int64)
+        cand_d = np.full((len(over), K), np.inf, dtype=np.float32)
+        cand_ids[:, :m0] = nb0[over]
+        cand_d[:, :m0] = link_d0[over]
+        # gather this wave's additions per overflow row
+        pos_of = {f: i for i, f in enumerate(over)}
+        fill = np.zeros(len(over), dtype=np.int32)
+        om = overflow_mask
+        for f, t, dd in zip(r_frm[om], r_to[om], r_d[om]):
+            i = pos_of[f]
+            j = m0 + fill[i]
+            if j < K:
+                cand_ids[i, j] = t
+                cand_d[i, j] = dd
+                fill[i] += 1
+        part = np.argpartition(cand_d, m0 - 1, axis=1)[:, :m0]
+        sort_in = np.take_along_axis(cand_d, part, axis=1)
+        srt = np.argsort(sort_in, axis=1, kind="stable")
+        part = np.take_along_axis(part, srt, axis=1)
+        nb0[over] = np.take_along_axis(cand_ids, part, axis=1)
+        link_d0[over] = np.take_along_axis(cand_d, part, axis=1)
+        nb0_count[over] = (nb0[over] >= 0).sum(axis=1).astype(np.int32)
+
+    index.dirty.update(slots.tolist())
+    index.dirty.update(np.unique(sel_frm).tolist())
+    index.dev_pending.update(slots.tolist())
+    index.dev_pending.update(np.unique(sel_frm).tolist())
+
+    ph_links = time.time() - t_ph
+    t_ph = time.time()
+
+    # -- 5. upper levels: per-node host heuristic (few nodes)
+    hi = np.nonzero(levels[pos:end] >= 1)[0]
+    for j in hi.tolist():
+        slot = int(slots[j])
+        lvl = int(levels[pos + j])
+        pool_l = [
+            (float(d), int(c))
+            for d, c in zip(pool_d[j], pool_ids[j])
+            if c >= 0 and np.isfinite(d) and index.levels[c] >= 1
+        ]
+        for l in range(1, lvl + 1):
+            cands_l = [(d, c) for d, c in pool_l if index.levels[c] >= l]
+            if not cands_l:
+                continue
+            selected = index._select_neighbors(batch[j], cands_l, l)
+            index._set_neighbors(l, slot, selected[: index.m_max])
+            for nb_ in selected[: index.m_max]:
+                index._add_link(l, nb_, slot)
+
+    # entry point: highest level so far
+    if index.entry < 0 or levels[pos:end].max(initial=-1) > int(
+        index.levels[index.entry]
+    ):
+        index.entry = pos + int(np.argmax(levels[pos:end]))
+
+    if log and (end // wave) % 16 == 0:
+        el = time.time() - tstate[0]
+        tstate[0] = time.time()
+        ph_upper = time.time() - t_ph
+        print(
+            f"# bulk_build: {end}/{n_new} ({el/16:.2f}s/wave; last: "
+            f"dispatch {ph_dispatch:.2f} pull {ph_pull:.2f} "
+            f"links {ph_links:.2f} upper {ph_upper:.2f})",
+            file=sys.stderr,
+            flush=True,
+        )

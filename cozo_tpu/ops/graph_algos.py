@@ -787,7 +787,8 @@ def _labelprop_compiled(n_pad: int, e_pad: int, iterations: int):
 _LP_CACHE = {}
 
 
-def labelprop_jax(indptr, dst, w=None, iterations=10, cache_key=None):
+def labelprop_jax(indptr, dst, w=None, iterations=10, cache_key=None,
+                  degree_cap=None):
     """Device label propagation over a CSR graph; returns int labels[n]
     (label ids are node indices — canonicalization happens at the rule
     layer).
@@ -795,7 +796,16 @@ def labelprop_jax(indptr, dst, w=None, iterations=10, cache_key=None):
     Dispatch: degree-bounded graphs (max in-degree <= LP_DENSE_DMAX,
     e.g. HNSW proximity graphs where construction caps degree at
     m_max0) use the dense padded-neighbor kernel; unbounded/power-law
-    graphs use the sort/scan kernel."""
+    graphs use the sort/scan kernel.
+
+    `degree_cap` (opt-in, surfaced as the fixed rule's `degree_cap`
+    option): hub nodes keep only their `cap` highest-weight in-edges
+    (first-in-order when unweighted) so the dense kernel applies to
+    graphs whose tail exceeds LP_DENSE_DMAX — label modes at capped
+    hubs are computed over that deterministic neighbor sample.  At 660M
+    proximity-graph edges the exact sort kernel costs ~100s/iteration
+    (TPU bitonic sorts); the capped dense kernel is ~100x faster and
+    only approximates hubs past the cap."""
     jax, jnp = _jax()
     n = len(indptr) - 1
     e = len(dst)
@@ -803,6 +813,13 @@ def labelprop_jax(indptr, dst, w=None, iterations=10, cache_key=None):
     if in_deg.max(initial=0) <= LP_DENSE_DMAX:
         return _labelprop_dense(
             indptr, dst, w, iterations, cache_key, in_deg, n, e
+        )
+    if degree_cap:
+        cap = min(int(degree_cap), LP_DENSE_DMAX)
+        return _labelprop_dense(
+            indptr, dst, w, iterations,
+            (cache_key + f"#cap{cap}") if cache_key else None,
+            np.minimum(in_deg, cap), n, e, cap=cap,
         )
     n_pad = _pad_pow2(n + 1)
     gran = max(_PR_CHUNK, _pad_pow2(max(e, 1)) // 16)
@@ -897,7 +914,8 @@ _LP_DENSE_CACHE = {}
 LP_DENSE_DMAX = 128
 
 
-def _labelprop_dense(indptr, dst, w, iterations, cache_key, in_deg, n, e):
+def _labelprop_dense(indptr, dst, w, iterations, cache_key, in_deg, n, e,
+                     cap=None):
     jax, jnp = _jax()
     n_pad = _pad_pow2(n + 1)
     dmax = int(1 << max(3, int(np.ceil(np.log2(max(in_deg.max(), 1))))))
@@ -906,13 +924,24 @@ def _labelprop_dense(indptr, dst, w, iterations, cache_key, in_deg, n, e):
     if staged is None:
         dummy = n_pad - 1
         src = np.repeat(np.arange(n, dtype=np.int32), np.diff(indptr))
-        order = np.argsort(dst, kind="stable")
+        if cap is not None and w is not None:
+            # keep each dst's `cap` highest-weight in-edges
+            order = np.lexsort(
+                (-np.asarray(w, dtype=np.float32), np.asarray(dst))
+            )
+        else:
+            order = np.argsort(dst, kind="stable")
         src_s = src[order]
         dst_s = np.asarray(dst)[order].astype(np.int64)
         in_ptr = np.zeros(n + 1, dtype=np.int64)
         cnt = np.bincount(dst_s, minlength=n)
         in_ptr[1:] = np.cumsum(cnt)
         pos = np.arange(e, dtype=np.int64) - in_ptr[dst_s]
+        if cap is not None:
+            keep = pos < cap
+            src_s, dst_s, pos = src_s[keep], dst_s[keep], pos[keep]
+            order = order[keep]
+            cnt = np.minimum(cnt, cap)
         nb = np.full((n_pad, dmax), dummy, dtype=np.int32)
         wq = np.zeros((n_pad, dmax), dtype=np.float32)
         nb[dst_s, pos] = src_s

@@ -1,0 +1,80 @@
+"""LabelPropagation `degree_cap` option (extension over the reference's
+`algos/label_propagation.rs` options): hub in-neighborhoods truncated to
+the cap's highest-weight edges so power-law graphs stay on the dense
+device kernel.  Community structure must survive the truncation."""
+
+from collections import Counter
+
+import numpy as np
+
+from cozo_tpu.ops.graph_algos import LP_DENSE_DMAX, labelprop_jax
+
+
+def _planted_graph(n_half=400, hub_extra=60, seed=2):
+    rng = np.random.default_rng(seed)
+    edges = []
+    for base in (0, n_half):
+        for _ in range(n_half * 20):
+            a, b = rng.integers(0, n_half, 2)
+            if a != b:
+                edges.append((base + a, base + b))
+    # one hub whose in-degree exceeds the dense-kernel bound
+    for i in range(1, LP_DENSE_DMAX + hub_extra):
+        edges.append((i, 0))
+    src = np.array([e[0] for e in edges])
+    dst = np.array([e[1] for e in edges])
+    order = np.argsort(src, kind="stable")
+    src, dst = src[order], dst[order]
+    n = 2 * n_half
+    indptr = np.zeros(n + 1, np.int64)
+    np.add.at(indptr, src + 1, 1)
+    return np.cumsum(indptr), dst, n, n_half
+
+
+def _purity(lab, n, n_half):
+    p = 0
+    for base in (0, n_half):
+        c = Counter(lab[base : base + n_half].tolist())
+        p += c.most_common(1)[0][1]
+    return p / n
+
+
+def test_degree_cap_keeps_community_structure():
+    indptr, dst, n, n_half = _planted_graph()
+    lab_exact = labelprop_jax(indptr, dst, iterations=10)
+    lab_cap = labelprop_jax(indptr, dst, iterations=10, degree_cap=128)
+    assert _purity(lab_exact, n, n_half) > 0.95
+    assert _purity(lab_cap, n, n_half) > 0.95
+
+
+def test_degree_cap_weighted_keeps_strong_edges():
+    """With weights, the cap must keep the HIGHEST-weight in-edges: a hub
+    whose strong edges all come from community A must label with A even
+    when B contributes more (weak) edges."""
+    n = 300
+    hub = n - 1
+    edges, w = [], []
+    for i in range(60):  # strong A edges
+        edges.append((i, hub))
+        w.append(10.0)
+    for i in range(100, 100 + LP_DENSE_DMAX + 40):  # weak B flood
+        edges.append((i % (n - 1), hub))
+        w.append(0.01)
+    # two cliques so A/B nodes hold distinct labels
+    for base, size in ((0, 60), (100, 140)):
+        for i in range(size):
+            for j in range(1, 4):
+                edges.append((base + i, base + (i + j) % size))
+                w.append(5.0)
+    src = np.array([e[0] for e in edges])
+    dst = np.array([e[1] for e in edges])
+    wa = np.array(w, dtype=np.float32)
+    order = np.argsort(src, kind="stable")
+    src, dst, wa = src[order], dst[order], wa[order]
+    indptr = np.zeros(n + 1, np.int64)
+    np.add.at(indptr, src + 1, 1)
+    indptr = np.cumsum(indptr)
+    lab = labelprop_jax(indptr, dst, w=wa, iterations=10, degree_cap=64)
+    # the hub's label must match community A's dominant label
+    a_label = Counter(lab[:60].tolist()).most_common(1)[0][0]
+    assert lab[hub] == a_label, (lab[hub], a_label)
