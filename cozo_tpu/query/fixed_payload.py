@@ -195,41 +195,56 @@ class FixedInput:
         index = cache.index
         n = index.n
         if n == 0:
-            return np.empty(0, np.int64), np.empty(0, np.int64)
+            z = np.empty(0, np.int64)
+            return z, z, z, z
         ids = cache.slot_ids_array()
         alive = index.alive[:n]
         nb = index.neighbors[0][:n]
-        valid = (nb >= 0) & alive[:, None]
-        valid &= np.where(nb >= 0, index.alive[np.maximum(nb, 0)], False)
-        src_slots = np.nonzero(valid)[0]
-        dst_slots = nb[valid]
-        # membership self-edges (one per alive node)
-        self_slots = np.nonzero(alive)[0]
-        src_slots = np.concatenate([src_slots, self_slots])
-        dst_slots = np.concatenate([dst_slots.astype(np.int64), self_slots])
-        return ids[src_slots], ids[dst_slots]
+        # self-edge (membership row) as an extra first column so the
+        # row-major nonzero yields src-sorted edges with no 660M argsort
+        nbx = np.concatenate(
+            [np.arange(n, dtype=nb.dtype)[:, None], nb], axis=1
+        )
+        valid = (nbx >= 0) & alive[:, None]
+        valid &= np.where(nbx >= 0, index.alive[np.maximum(nbx, 0)], False)
+        src_slots = np.repeat(
+            np.arange(n, dtype=np.int64), valid.sum(axis=1)
+        )
+        dst_slots = nbx[valid].astype(np.int64)
+        vert_slots = np.nonzero(alive)[0]  # == unique(src_slots)
+        return src_slots, dst_slots, vert_slots, ids
 
     def _as_directed_graph_impl(self, undirected: bool = False):
         fast = self._hnsw_layer0_fast()
         if fast is not None:
-            s_raw, d_raw = fast
-            if undirected:
-                s_raw, d_raw = (
-                    np.concatenate([s_raw, d_raw]),
-                    np.concatenate([d_raw, s_raw]),
-                )
-            vert_arr, inv = np.unique(
-                np.concatenate([s_raw, d_raw]), return_inverse=True
+            # slot-space CSR: vertex set = alive slots (every alive node
+            # owns a self-edge), compacted by slot order — no np.unique
+            # over the 2E-element id stream (at 10M x 33 that unique is
+            # a 660M-element sort on one core)
+            s_slots, d_slots, vert_slots, ids = fast
+            # vertices: alive slots (src always includes every alive
+            # slot via its self-edge; dst ⊆ alive slots)
+            pos = np.full(
+                int(vert_slots[-1]) + 1 if len(vert_slots) else 1,
+                -1,
+                dtype=np.int64,
             )
-            src_a = inv[: len(s_raw)]
-            dst_a = inv[len(s_raw) :]
-            order = np.argsort(src_a, kind="stable")
-            src_a, dst_a = src_a[order], dst_a[order]
-            n = len(vert_arr)
-            indptr = np.zeros(n + 1, dtype=np.int64)
+            pos[vert_slots] = np.arange(len(vert_slots), dtype=np.int64)
+            src_a = pos[s_slots]
+            dst_a = pos[d_slots]
+            nv = len(vert_slots)
+            if undirected:
+                src_a, dst_a = (
+                    np.concatenate([src_a, dst_a]),
+                    np.concatenate([dst_a, src_a]),
+                )
+                order = np.argsort(src_a, kind="stable")
+                src_a, dst_a = src_a[order], dst_a[order]
+            indptr = np.zeros(nv + 1, dtype=np.int64)
             np.add.at(indptr, src_a + 1, 1)
             indptr = np.cumsum(indptr)
-            return indptr, dst_a, [int(v) for v in vert_arr]
+            verts = ids[vert_slots]
+            return indptr, dst_a, [int(v) for v in verts]
         fast = self._int_pairs_fast()
         if fast is not None:
             s_raw, d_raw = fast
