@@ -36,6 +36,8 @@ K = 10
 N_CLUSTERS = 4096
 
 PHASES = []
+OUT_PATH = None
+META = {}
 
 
 def emit(phase, seconds, **kw):
@@ -44,6 +46,9 @@ def emit(phase, seconds, **kw):
            "peak_rss_mb": rss, **kw}
     PHASES.append(rec)
     print(json.dumps(rec), flush=True)
+    if OUT_PATH:  # incremental: a killed run keeps its finished phases
+        with open(OUT_PATH, "w") as f:
+            json.dump({**META, "phases": PHASES}, f, indent=1)
 
 
 def gen_clustered(n, seed=42):
@@ -73,8 +78,21 @@ def gen_clustered(n, seed=42):
 
 
 def main():
+    global OUT_PATH
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
-    out_path = sys.argv[2] if len(sys.argv) > 2 else None
+    OUT_PATH = sys.argv[2] if len(sys.argv) > 2 else None
+    META.update({"n": n, "dim": D})
+    # internal deadline: exit CLEANLY past the budget instead of being
+    # timeout-killed mid-TPU-call (a SIGKILLed axon client wedges the
+    # device lease for a long time — learned the hard way)
+    t_start = time.time()
+    deadline = float(os.environ.get("COZO_BENCH_DEADLINE", 0)) or None
+
+    def over_deadline(phase):
+        if deadline and time.time() - t_start > deadline:
+            emit("skipped_past_deadline", time.time() - t_start, at=phase)
+            return True
+        return False
 
     from cozo_tpu.runtime.db import Db
 
@@ -160,6 +178,8 @@ def main():
     emit("recall_eval", time.time() - t0, recall_at_10=round(rec, 4),
          eval_queries=NEVAL)
 
+    if over_deadline("recursive_2hop"):
+        return
     # recursive 2-hop semantic expansion through the search atom
     two_hop = (
         "first[id, v2] := ~item:ix{id, v: v2 | query: qv, k: 4, ef: 64}, "
@@ -169,11 +189,13 @@ def main():
     )
     db.run_script(two_hop, {"q": qs[0]})
     t0 = time.time()
-    reps = 8
+    reps = 3
     for r in range(reps):
         out2 = db.run_script(two_hop, {"q": qs[r]})
     emit("recursive_2hop", (time.time() - t0) / reps, rows=len(out2.rows))
 
+    if over_deadline("proximity_pagerank"):
+        return
     # proximity graph -> device PageRank via the constant-pin staging
     pr_script = (
         "?[n, s] <~ PageRank(*item:ix{layer: 0, fr_id, to_id})\n:limit 10"
@@ -186,6 +208,8 @@ def main():
     emit("proximity_pagerank_warm", time.time() - t0)
 
     # community detection on the proximity graph
+    if over_deadline("community_labelprop"):
+        return
     # degree_cap: hub in-neighborhoods sampled at 128 so the dense device
     # kernel applies (exact for ~99.9% of proximity-graph nodes; the sort
     # kernel would pay ~100s/iteration in TPU bitonic sorts at 660M edges)
@@ -199,11 +223,7 @@ def main():
     t0 = time.time()
     db.run_script(lp_script)
     emit("community_labelprop_warm", time.time() - t0)
-
-    if out_path:
-        with open(out_path, "w") as f:
-            json.dump({"n": n, "dim": D, "phases": PHASES}, f, indent=1)
-        print(f"# wrote {out_path}", file=sys.stderr)
+    emit("done", 0.0)
 
 
 if __name__ == "__main__":
