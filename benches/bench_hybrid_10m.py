@@ -94,12 +94,24 @@ def main():
             return True
         return False
 
+    # a 10M build on host waves would take days — fail loudly instead
+    os.environ.setdefault("COZO_TPU_REQUIRE_DEVICE_BUILD", "1")
+
     from cozo_tpu.runtime.db import Db
 
     t0 = time.time()
-    data = gen_clustered(n + NQ)
-    qs = data[n:].copy()
-    emit("datagen", time.time() - t0, rows=n, dim=D)
+    cache_path = os.environ.get("COZO_BENCH_DATA_CACHE")
+    if cache_path and os.path.exists(cache_path):
+        data = np.load(cache_path, mmap_mode="r")
+        assert data.shape == (n + NQ, D), data.shape
+    else:
+        data = gen_clustered(n + NQ)
+        if cache_path:
+            np.save(cache_path, data)
+            data = np.load(cache_path, mmap_mode="r")  # drop the RAM copy
+    qs = np.asarray(data[n:])
+    emit("datagen", time.time() - t0, rows=n, dim=D,
+         cached=bool(cache_path))
 
     db = Db("mem")
     db.run_script(f":create item {{id: Int => v: <F32; {D}>}}")
