@@ -377,13 +377,138 @@ def _compile_extractors(plan: MutatePlan, handle):
     return key_ex, val_ex
 
 
+def _try_bulk_vector_put(handle, key_ex, val_ex, raw_rows, arity, tx):
+    """Vectorized `:put` for the embedding-table shape — single Int key,
+    single fixed-dim F32/F64 vector value.  Key and value memcmp
+    encodings are one numpy pass over the whole batch instead of ~10
+    python/numpy calls per row (measured 2-4x at 768-d), and the
+    set-semantics dedup runs on the encoded bytes, whose lexicographic
+    order IS the value order (the codec's invariant), picking the same
+    winner as the generic cmp_key dedup.  Returns True when the batch
+    was written; None -> caller falls back to the generic loop."""
+    import numpy as np
+
+    from ..data.memcmp import NUM_TAG, VEC_TAG
+    from ..data.value import Vector
+    from ..runtime.relation import rel_prefix
+
+    if len(handle.keys) != 1 or len(handle.values) != 1 or arity != 2:
+        return None
+    kt, vt = handle.keys[0].typing, handle.values[0].typing
+    if kt is None or kt.kind != "Int":
+        return None
+    if (
+        vt is None
+        or vt.kind != "Vec"
+        or vt.vec_eltype not in ("F32", "F64")
+        or vt.length is None
+        or vt.nullable
+    ):
+        return None
+    if key_ex[0].idx is None or val_ex[0].idx is None:
+        return None
+    ki, vi = key_ex[0].idx, val_ex[0].idx
+    n = len(raw_rows)
+    if n == 0:
+        return True
+    d = vt.length
+    f32 = vt.vec_eltype == "F32"
+    dt = np.float32 if f32 else np.float64
+    try:
+        vec_list = []
+        for row in raw_rows:
+            if not isinstance(row, (list, tuple)) or len(row) != arity:
+                return None
+            v = row[vi]
+            vec_list.append(v.a if type(v) is Vector else v)
+        vecs0 = np.stack(vec_list)  # one C loop; raises on ragged input
+        if (
+            vecs0.ndim != 2
+            or vecs0.shape[1] != d
+            or not np.issubdtype(vecs0.dtype, np.floating)
+        ):
+            return None
+        vecs = np.ascontiguousarray(vecs0, dtype=dt)
+        ids = np.empty(n, dtype=np.int64)
+        for i, row in enumerate(raw_rows):
+            k = row[ki]
+            if type(k) is not int:  # bools/floats: generic coercion path
+                return None
+            ids[i] = k
+    except (OverflowError, TypeError, ValueError):
+        return None
+
+    # keys: prefix(8) | NUM_TAG | order-bits(float(id)) | 0x00 | id+2^63
+    fb = ids.astype(np.float64).view(np.uint64)
+    ob = np.where(fb >> np.uint64(63), ~fb, fb | np.uint64(1 << 63))
+    second = ids.view(np.uint64) + np.uint64(1 << 63)  # wrapping add
+    keyb = np.empty((n, 26), dtype=np.uint8)
+    keyb[:, :8] = np.frombuffer(rel_prefix(handle.id), dtype=np.uint8)
+    keyb[:, 8] = NUM_TAG
+    keyb[:, 9:17] = ob.astype(">u8").view(np.uint8).reshape(n, 8)
+    keyb[:, 17] = 0
+    keyb[:, 18:26] = second.astype(">u8").view(np.uint8).reshape(n, 8)
+
+    # values: VEC_TAG | dtype | u32 len | order-bit element bytes
+    esz = 4 if f32 else 8
+    vw = 6 + d * esz
+    valb = np.empty((n, vw), dtype=np.uint8)
+    valb[:, 0] = VEC_TAG
+    valb[:, 1] = 1 if f32 else 2
+    valb[:, 2:6] = np.frombuffer(
+        d.to_bytes(4, "big"), dtype=np.uint8
+    )
+    if f32:
+        u = vecs.view(np.uint32)
+        obv = np.where(
+            u & np.uint32(1 << 31), ~u, u | np.uint32(1 << 31)
+        ).astype(">u4")
+    else:
+        u = vecs.view(np.uint64)
+        obv = np.where(
+            u & np.uint64(1 << 63), ~u, u | np.uint64(1 << 63)
+        ).astype(">u8")
+    valb[:, 6:] = obv.view(np.uint8).reshape(n, d * esz)
+
+    # set-semantics dedup: duplicate KEYS are rare in bulk loads, so
+    # dedup on the 26-byte keys first; only actual duplicates pay a
+    # full-row comparison (winner = lexicographically largest encoded
+    # row — identical to the generic cmp_key dedup's last-sorted win)
+    order = None
+    if n > 1:
+        uniq_ids, first, counts = np.unique(
+            ids, return_index=True, return_counts=True
+        )
+        if len(uniq_ids) != n:
+            keep = np.ones(n, dtype=bool)
+            for j in np.nonzero(counts > 1)[0].tolist():
+                cand = np.nonzero(ids == uniq_ids[j])[0]
+                rowsb = [
+                    keyb[i].tobytes() + valb[i].tobytes() for i in cand
+                ]
+                win = cand[max(range(len(cand)), key=rowsb.__getitem__)]
+                keep[cand] = False
+                keep[win] = True
+            order = np.nonzero(keep)[0]
+
+    kb, vb = keyb.tobytes(), valb.tobytes()
+    idx_iter = range(n) if order is None else order.tolist()
+    for i in idx_iter:
+        tx.put(kb[i * 26 : (i + 1) * 26], vb[i * vw : (i + 1) * vw])
+    return True
+
+
 def _execute_mutate(plan: MutatePlan, db, params: Dict[str, Any], cur_vld: int,
                     immutable: bool):
     NamedRows = _named_rows()
     if immutable:
         raise QueryError("attempting to write in read-only mode")
-    # resolve rows before taking any lock/tx
+    # resolve rows before taking any lock/tx.  Param batches stay RAW
+    # here: the bulk vector path encodes them in one numpy pass, and the
+    # deep_freeze + cmp_key dedup below (~45% of 768-d ingest time) only
+    # runs when the generic per-row loop is actually taken.
     arity = len(plan.head)
+    raw_rows = None
     if plan.rows_param is not None:
         data = params.get(plan.rows_param, MISS)
         if data is MISS:
@@ -393,18 +518,29 @@ def _execute_mutate(plan: MutatePlan, db, params: Dict[str, Any], cur_vld: int,
             )
         if not isinstance(data, (list, tuple)):
             return MISS  # canonical arity/type error from the general path
-        rows = []
-        for row in data:
-            if not isinstance(row, (list, tuple)) or len(row) != arity:
-                return MISS
-            rows.append([deep_freeze(v) for v in row])
+        raw_rows = data
+        rows = None
     else:
         rows = [[_resolve(e, params) for e in rt] for rt in plan.rows_tmpl]
-    if len(rows) > 1:  # set semantics + memo output order (_try_const_entry)
+
+    def _norm_rows():
+        out = []
+        for row in raw_rows:
+            if not isinstance(row, (list, tuple)) or len(row) != arity:
+                return None
+            out.append([deep_freeze(v) for v in row])
+        return out
+
+    def _dedup(rows):
+        if len(rows) <= 1:  # set semantics + memo order (_try_const_entry)
+            return rows
         dedup = {}
         for row in rows:
             dedup[tuple(cmp_key(v) for v in row)] = row
-        rows = [row for _, row in sorted(dedup.items())]
+        return [row for _, row in sorted(dedup.items())]
+
+    if rows is not None:
+        rows = _dedup(rows)
 
     with db._lock_for(plan.rel):
         tx = db.storage.transact(write=True)
@@ -428,6 +564,26 @@ def _execute_mutate(plan: MutatePlan, db, params: Dict[str, Any], cur_vld: int,
             except QueryError:
                 return MISS  # canonical extractor error from the general path
             nk = len(handle.keys)
+
+            if plan.op == "put" and raw_rows is not None:
+                done = _try_bulk_vector_put(
+                    handle, key_ex, val_ex, raw_rows, arity, tx
+                )
+                if done:
+                    db._rel_versions[plan.rel] = (
+                        db._rel_versions.get(plan.rel, 0) + 1
+                    )
+                    for k in [k for k in db._csr_cache if k[0] == plan.rel]:
+                        db._csr_cache.pop(k, None)
+                    tx.commit()
+                    committed = True
+                    return NamedRows.ok()
+
+            if rows is None:
+                rows = _norm_rows()
+                if rows is None:
+                    return MISS  # arity mismatch: canonical general error
+                rows = _dedup(rows)
 
             if plan.op in ("put", "insert"):
                 is_insert = plan.op == "insert"
