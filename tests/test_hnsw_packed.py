@@ -199,6 +199,27 @@ def test_packed_drop_cleans_blobs():
         tx.abort()
 
 
+@pytest.mark.parametrize("engine", ["tkv", "plog"])
+def test_packed_rebuild_on_native_engines(engine, tmp_path):
+    """Packed blobs + overlay round-trip through the C++ LSM (tkv) and
+    the WAL+snapshot engine (plog), including reopen."""
+    path = str(tmp_path / f"t.{engine}")
+    db1 = _build(10, engine, path)
+    assert _is_packed(db1)
+    _mutate(db1)
+    scan1 = _full_scan(db1)
+    del db1
+    db2 = Db(engine, path)
+    assert _full_scan(db2) == scan1
+    q = list(map(float, VECS[7]))
+    r = db2.run_script(
+        "?[id, d] := ~pts:idx{id | query: vec($q), k: 5, ef: 32, "
+        "bind_distance: d}",
+        {"q": q},
+    ).rows
+    assert len(r) == 5
+
+
 def test_proximity_graph_algo_on_packed_index():
     """Fixed rules consuming the packed proximity graph (BASELINE config
     5 shape: community detection over `*pts:idx{layer: 0, ...}`)."""
