@@ -75,10 +75,36 @@ def measure_baseline(data, qs):
     return out
 
 
+def _await_device(seconds: float):
+    """Fail fast (hard exit) if jax can't reach a device within the
+    budget.  The axon grant-wait happens inside a C call that ignores
+    signals and Python timers, so the watchdog must os._exit from a
+    daemon thread; a wedged device lease otherwise eats the driver's
+    whole bench budget (observed: 25+ min per init attempt)."""
+    import threading
+
+    done = threading.Event()
+
+    def watchdog():
+        if not done.wait(seconds):
+            log(f"device init exceeded {seconds:.0f}s — TPU unavailable; "
+                "aborting bench (exit 3)")
+            os._exit(3)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+    import jax
+
+    devs = jax.devices()
+    done.set()
+    log(f"device: {devs}")
+
+
 def main():
     from cozo_tpu.models.hnsw_index import HnswIndex
     from cozo_tpu.ops.exact_knn import sweep_search
     from cozo_tpu.utils.datasets import glove_like
+
+    _await_device(float(os.environ.get("COZO_BENCH_DEVICE_WAIT", 900)))
 
     t0 = time.time()
     data = glove_like(N + NQ, D, seed=42)
