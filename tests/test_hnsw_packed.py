@@ -169,6 +169,26 @@ def test_packed_rebuild_after_reopen():
     ).rows == [[0.0]]
 
 
+def test_packed_backup_restore(tmp_path):
+    """`backup_db` streams the raw KV range, so packed blobs + overlay
+    + canary travel with it; the restored db serves identical scans."""
+    db = _build(10)
+    _mutate(db)
+    scan1 = _full_scan(db)
+    bk = str(tmp_path / "b.db")
+    db.backup_db(bk)
+    db2 = Db("mem")
+    db2.restore_backup(bk)
+    assert _full_scan(db2) == scan1
+    q = list(map(float, VECS[7]))
+    r = db2.run_script(
+        "?[id, d] := ~pts:idx{id | query: vec($q), k: 5, ef: 32, "
+        "bind_distance: d}",
+        {"q": q},
+    ).rows
+    assert len(r) == 5
+
+
 def test_packed_drop_cleans_blobs():
     import cozo_tpu.runtime.hnsw_packed as hp
 
