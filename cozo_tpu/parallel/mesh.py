@@ -270,6 +270,30 @@ def sharded_pagerank_step(mesh, src, dst, contrib_denom, n_nodes: int):
     return _shard_map(local, mesh, (P(axis), P(axis), P(None)), P(None))
 
 
+def sharded_sssp_step(mesh, n_nodes: int):
+    """One Bellman-Ford relaxation over an edge-sharded weighted graph.
+
+    Edges (src, dst, w) shard along the edge axis; distances replicate.
+    Each shard relaxes its local edges (`segment_min` of dist[src]+w per
+    destination) and the shards combine with a `pmin` collective — the
+    min-plus analog of `sharded_pagerank_step`'s psum.  Iterating the
+    returned step to a fixed point is SSSP sharded over ICI."""
+    jax, jnp = _jx()
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+
+    def local(src_l, dst_l, w_l, dist):
+        cand = dist[src_l] + w_l
+        relaxed = jax.ops.segment_min(cand, dst_l, num_segments=n_nodes)
+        combined = jax.lax.pmin(relaxed, axis)
+        return jnp.minimum(dist, combined)
+
+    return _shard_map(
+        local, mesh, (P(axis), P(axis), P(axis), P(None)), P(None)
+    )
+
+
 def shard_array(mesh, arr, axis_name: str = "data", dim: int = 0):
     """Place a host array row-sharded over the mesh."""
     jax, jnp = _jx()
