@@ -30,8 +30,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-D = 768
-NQ = 4096
+D = int(os.environ.get("COZO_BENCH_DIM", 768))
+NQ = int(os.environ.get("COZO_BENCH_NQ", 4096))
 K = 10
 N_CLUSTERS = 4096
 
@@ -178,7 +178,7 @@ def main():
         qt = QuantSweepTable().load(
             idx.vectors[: idx.n], "Cosine", alive=idx.alive[: idx.n]
         )
-    NEVAL = 512
+    NEVAL = min(512, NQ)
     gt_ids, _ = quant_search(
         idx.vectors, qt, qs[:NEVAL], K, overfetch=4096 // K, rt=1.0
     )
