@@ -103,7 +103,8 @@ def main():
     cache_path = os.environ.get("COZO_BENCH_DATA_CACHE")
     if cache_path and os.path.exists(cache_path):
         data = np.load(cache_path, mmap_mode="r")
-        assert data.shape == (n + NQ, D), data.shape
+        assert data.shape[0] >= n + NQ and data.shape[1] == D, data.shape
+        data = data[: n + NQ]
     else:
         data = gen_clustered(n + NQ)
         if cache_path:
