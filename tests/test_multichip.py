@@ -211,13 +211,20 @@ n, e = 4000, 64000
 src = rng.integers(0, n, e).astype(np.int32)
 dst = rng.integers(0, n, e).astype(np.int32)
 w = rng.uniform(0.5, 3.0, e).astype(np.float32)
-step = jax.jit(sharded_sssp_step(mesh, n))
+step = sharded_sssp_step(mesh, n)
+# iterate INSIDE one jit: on a 1-core host, dozens of sequential
+# executions of an 8-thread collective can starve the 40s CPU
+# rendezvous window (xla rendezvous.cc fatal); one executable with a
+# fori_loop keeps the device threads hot. 16 relaxations >> graph
+# diameter (avg degree 16).
+@jax.jit
+def solve(s, d, w2, dist):
+    return jax.lax.fori_loop(
+        0, 16, lambda _, dd: step(s, d, w2, dd), dist)
 dist = np.full(n, np.inf, np.float32); dist[0] = 0
 dist_d = replicate_array(mesh, dist)
 s_d, d_d, w_d = (shard_array(mesh, a) for a in (src, dst, w))
-for _ in range(64):
-    dist_d = step(s_d, d_d, w_d, dist_d)
-got = np.asarray(dist_d)
+got = np.asarray(solve(s_d, d_d, w_d, dist_d))
 adj = [[] for _ in range(n)]
 for a, b, ww in zip(src, dst, w):
     adj[a].append((int(b), float(ww)))
