@@ -140,9 +140,10 @@ def _dev_cache_put(key, value):
     _GRAPH_DEV_CACHE[key] = value
 
 
-# host-side staging shared between kernels (e.g. the destination-sort
-# permutation: PageRank and SSSP both group edges by destination; on this
-# class of host a 69M argsort costs ~30s single-core, so pay it once)
+# host-side staging shared between kernels (e.g. the destination-group
+# pass: PageRank and SSSP both group edges by destination; pay it once
+# per graph, and via the native counting sort where a compiler exists —
+# numpy's repeat+argsort+permute costs ~35s single-core at 69M edges)
 _HOST_STAGE_CACHE = {}
 
 
@@ -150,6 +151,22 @@ def _host_stage_put(key, value):
     if len(_HOST_STAGE_CACHE) >= _GRAPH_DEV_CACHE_MAX:
         _HOST_STAGE_CACHE.pop(next(iter(_HOST_STAGE_CACHE)))
     _HOST_STAGE_CACHE[key] = value
+
+
+def _dst_stage(indptr, dst, n_slots, cache_key):
+    """(src_by_dst, order, deg) for the graph, cached per content key."""
+    st = (
+        _HOST_STAGE_CACHE.get(("dststage", cache_key, n_slots))
+        if cache_key
+        else None
+    )
+    if st is None:
+        from cozo_tpu.utils.graph_stage import stage_by_dst
+
+        st = stage_by_dst(indptr, dst, n_slots)
+        if cache_key:
+            _host_stage_put(("dststage", cache_key, n_slots), st)
+    return st
 
 
 def pagerank_jax(indptr, dst, theta=0.85, iterations=10, cache_key=None):
@@ -165,19 +182,13 @@ def pagerank_jax(indptr, dst, theta=0.85, iterations=10, cache_key=None):
     if staged is None:
         # always reserve a dummy slot (rank forced to 0) for padded edges
         dummy = n_pad - 1
-        src = np.repeat(np.arange(n, dtype=np.int32), np.diff(indptr))
-        # re-sort edges by destination; padded edges point at the dummy slot
-        order = _HOST_STAGE_CACHE.get(("dstsort", cache_key)) if cache_key else None
-        if order is None:
-            order = np.argsort(dst, kind="stable")
-            if cache_key:
-                _host_stage_put(("dstsort", cache_key), order)
+        # one native counting-sort pass groups edges by destination and
+        # yields the in-degree histogram (utils/graph_stage.py)
+        src_e, _order, deg = _dst_stage(indptr, dst, n_pad, cache_key)
         src_by_dst = np.full(e_pad, dummy, dtype=np.int32)
-        src_by_dst[:e] = src[order]
-        dst_sorted = np.asarray(dst)[order]
+        src_by_dst[:e] = src_e
         in_ptr = np.zeros(n_pad + 1, dtype=np.int32)
-        counts = np.bincount(dst_sorted, minlength=n_pad)
-        in_ptr[1 : n_pad + 1] = np.cumsum(counts)
+        in_ptr[1 : n_pad + 1] = np.cumsum(deg)
         in_ptr[n_pad] = e_pad  # padding edges belong to the dummy slot
         out_deg = np.ones(n_pad, dtype=np.float32)  # 1.0 on padding avoids 0/0
         out_deg[:n] = np.diff(indptr)
