@@ -161,12 +161,28 @@ def main():
             f"recall@10={r:.4f} (B={NQ})")
 
     def cpu_qps_at(rec):
-        """CPU QPS at >= our recall (conservative); if the CPU curve never
-        reaches our recall, its best-recall point's QPS."""
+        """CPU QPS at recall == ours, log-interpolated on the measured
+        curve (VERDICT r3 weak #3: snapping to the first CPU point with
+        recall >= ours compared against a point that over-delivers recall
+        by ~2pts and under-states its QPS ~2.7x).  Past the curve's max
+        recall, the best-recall point's QPS (conservative: the CPU only
+        gets slower at higher recall)."""
+        import math
+
         pts = sorted(baseline["points"], key=lambda p: p["recall@10"])
-        for p in pts:
-            if p["recall@10"] >= rec - 1e-9:
-                return p["qps"]
+        if rec <= pts[0]["recall@10"]:
+            return pts[0]["qps"]
+        for lo, hi in zip(pts, pts[1:]):
+            if rec <= hi["recall@10"] + 1e-9:
+                r0, r1 = lo["recall@10"], hi["recall@10"]
+                if r1 - r0 < 1e-12:
+                    return min(lo["qps"], hi["qps"])
+                t = (rec - r0) / (r1 - r0)
+                # log-QPS interpolation: the recall/QPS tradeoff is
+                # roughly exponential in ef along the curve
+                return math.exp(
+                    (1 - t) * math.log(lo["qps"]) + t * math.log(hi["qps"])
+                )
         return pts[-1]["qps"]
 
     tag, qps, rec, reps1 = curve[0]  # headline: exact-rerank high-recall
@@ -179,6 +195,10 @@ def main():
         json.dumps(
             {
                 "metric": f"glove100shape_1.18M_cosine_qps_recall{rec:.3f}",
+                # NOT the real glove-100-angular fvecs (zero-egress env):
+                # clustered synthetic at the exact shape; the CPU baseline
+                # curve is measured on the SAME data, so the ratio holds
+                "data": "synthetic-clustered",
                 "value": round(qps, 1),
                 "unit": "queries/s",
                 "vs_baseline": ratio,

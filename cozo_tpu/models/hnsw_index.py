@@ -402,13 +402,16 @@ class HnswIndex:
             )
         if use_tpu is None:
             use_tpu = self.n >= 20_000 and B >= 4
+        from ..utils import fallback as _fb
+
         # opt-in mesh serving (COZO_TPU_MESH): row-sharded exact sweep
         # with an all-gather top-k merge across the device mesh
         try:
             from ..parallel.mesh import serving_mesh
 
             mesh = serving_mesh()
-        except Exception:  # pragma: no cover — mesh init failure
+        except Exception as e:  # pragma: no cover — mesh init failure
+            _fb.record("hnsw.serving_mesh_init", e)
             mesh = None
         if mesh is not None:
             try:
@@ -420,8 +423,8 @@ class HnswIndex:
                     self._mesh_sweep = ss
                     self._mesh_sweep_version = self.version
                 return ss.search(qs, k)
-            except Exception:  # pragma: no cover — device fallback
-                pass
+            except Exception as e:  # pragma: no cover — device fallback
+                _fb.record("hnsw.mesh_sweep", e)
         if use_tpu:
             # beyond the f32-in-HBM budget (10M x 768 ~ 30GB vs 16GB HBM)
             # serve through the int8-quantized sweep + host f32 re-rank
@@ -433,7 +436,7 @@ class HnswIndex:
             budget = int(
                 _os.environ.get("COZO_TPU_F32_TABLE_MAX", 8 << 30)
             )
-            if f32_bytes > budget and self.distance in ("Cosine", "IP"):
+            if f32_bytes > budget:
                 try:
                     from ..ops.quant_knn import QuantSweepTable, quant_search
 
@@ -446,8 +449,8 @@ class HnswIndex:
                         self._quant_sweep = qt
                         self._quant_sweep_version = self.version
                     return quant_search(self.vectors, qt, qs, k)
-                except Exception:  # pragma: no cover — device fallback
-                    pass
+                except Exception as e:  # pragma: no cover — device fallback
+                    _fb.record("hnsw.quant_sweep", e)
             # Large query batches (or single-chunk tables): the chunked MXU
             # sweep is faster AND more accurate than graph traversal on TPU
             # (row gathers run ~1.6 GB/s vs matmuls at TFLOP/s — see
@@ -458,14 +461,14 @@ class HnswIndex:
                     from ..ops.exact_knn import sweep_search
 
                     return sweep_search(self, qs, k)
-                except Exception:  # pragma: no cover — device fallback
-                    pass
+                except Exception as e:  # pragma: no cover — device fallback
+                    _fb.record("hnsw.exact_sweep", e)
             try:
                 from ..ops.vector_search import hnsw_search_device
 
                 return hnsw_search_device(self, qs, k, ef)
-            except Exception:  # pragma: no cover — device fallback
-                pass
+            except Exception as e:  # pragma: no cover — device fallback
+                _fb.record("hnsw.beam_device", e)
         out_ids = np.full((B, k), -1, dtype=np.int64)
         out_d = np.full((B, k), np.inf)
         top = int(self.levels[self.entry])

@@ -450,15 +450,16 @@ def bulk_build_device(index, data: np.ndarray, wave: int = 4096,
     if pending is not None:
         _process_wave(*pending)
 
-    if use_i8 and index.distance in ("Cosine", "IP"):
+    if use_i8:
         # hand the finished int8 table to the serving path: the build's
-        # storage form (cosine rows pre-normalized, max-abs row scales)
-        # is exactly `QuantSweepTable.quantize_rows` form, so serving
-        # starts without re-quantizing 10M rows through the host
+        # storage form (cosine rows pre-normalized, L2 rows as 2v with
+        # bias -||v||^2, max-abs row scales) is exactly
+        # `QuantSweepTable.quantize_rows` scoring form, so serving starts
+        # without re-quantizing 10M rows through the host
         from .quant_knn import QuantSweepTable
 
         qt = QuantSweepTable()
-        qt.tbl, qt.scales = tbl_i8, tbl_scale
+        qt.tbl, qt.scales, qt.bias = tbl_i8, tbl_scale, tbl_bias
         qt.chunk, qt.n_chunks, qt.d_pad = chunk, n_chunks, d_pad
         qt.n = n_new
         qt.distance = index.distance

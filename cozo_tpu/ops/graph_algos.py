@@ -218,8 +218,10 @@ def pagerank(indptr, dst, theta=0.85, epsilon=1e-4, iterations=10, use_tpu=False
                 iterations=iterations,
                 cache_key=graph_content_key(indptr, dst),
             )
-        except Exception:  # pragma: no cover - device fallback
-            pass
+        except Exception as e:  # pragma: no cover - device fallback
+            from cozo_tpu.utils import fallback as _fb
+
+            _fb.record("graph.pagerank_device", e)
     return pagerank_numpy(
         indptr, dst, theta=theta, epsilon=epsilon, iterations=iterations
     )
@@ -482,9 +484,11 @@ _SSSP_PACK_CACHE = {}
 
 def _sssp_pack_fn(e_pad: int, n_pad: int, layout):
     """Padded-bucket packing of dst-sorted edges (gather-only: the
-    destination sort happens on the host — numpy's stable int argsort is
-    radix, ~24s at 69M vs 68s for the device bitonic sort, and PageRank's
-    staging shares the permutation through `_HOST_STAGE_CACHE`)."""
+    destination grouping happens on the host via the native one-pass
+    counting sort in `utils/graph_stage.stage_by_dst` — ~2s at 69M edges
+    vs ~24s for numpy's stable argsort and 68s for a device bitonic
+    sort — and PageRank shares the staged result through
+    `_HOST_STAGE_CACHE` / `_dst_stage`)."""
     jax, jnp = _jax()
 
     @jax.jit
@@ -585,30 +589,21 @@ def sssp_device(indptr, dst, w, sources, max_iters: int = 512, cache_key=None):
         if staged is None:
             gran = max(_ELL_LANE, _pad_pow2(max(e, 1)) // 16)
             e_pad = ((max(e, 1) + gran - 1) // gran) * gran
-            deg = np.bincount(
-                np.asarray(dst, dtype=np.int64), minlength=n_pad
-            ).astype(np.int64)
+            # one native counting-sort pass (utils/graph_stage.py) yields
+            # the dst-grouped sources, the permutation, and the in-degree
+            # histogram; shared with PageRank via _HOST_STAGE_CACHE
+            src_e, order, deg = _dst_stage(indptr, dst, n_pad, cache_key)
             (
                 layout, p_layout, rs_flat, rl_flat, nd_flat, R_pad,
                 l2_host, node_pos_h,
             ) = _stage_sssp_ell_meta(deg, n_pad, e_pad)
             t_meta = _time.time()
-            src = np.repeat(np.arange(n, dtype=np.int32), np.diff(indptr))
-            # host radix sort by destination; PageRank stages the same
-            # permutation for the same graph, so share it
-            order = (
-                _HOST_STAGE_CACHE.get(("dstsort", cache_key))
-                if cache_key
-                else None
-            )
-            if order is None:
-                order = np.argsort(np.asarray(dst), kind="stable")
-                if cache_key:
-                    _host_stage_put(("dstsort", cache_key), order)
+            from cozo_tpu.utils.graph_stage import gather_f32
+
             s_sorted = np.full(e_pad, n_pad - 1, dtype=np.int32)
-            s_sorted[:e] = src[order]
+            s_sorted[:e] = src_e
             w_sorted = np.full(e_pad, np.inf, dtype=np.float32)
-            w_sorted[:e] = np.asarray(w, dtype=np.float32)[order]
+            w_sorted[:e] = gather_f32(w, order)
             pk = (e_pad, n_pad, layout)
             pack = _SSSP_PACK_CACHE.get(pk)
             if pack is None:

@@ -45,6 +45,14 @@ _QSWEEP_FNS = {}
 
 
 def _qsweep_fn(n_chunks: int, chunk: int, d_pad: int, kf: int, rt: float):
+    """score = (q_i8 . row_i8) * scale_row * scale_q + bias_row.
+
+    The per-query scale and the additive per-row bias make L2 servable
+    (VERDICT r3 weak #8): with rows stored as v (scales doubled at load)
+    and bias = -||v||^2, score = 2 q.v - ||v||^2 which ranks -||q-v||^2
+    per query.  IP/Cosine use bias 0 (dead rows -inf); multiplying by the
+    positive per-query scale is rank-invariant there, so one kernel form
+    serves every metric."""
     jax, jnp = _jx()
     key = (n_chunks, chunk, d_pad, kf, rt)
     fn = _QSWEEP_FNS.get(key)
@@ -52,21 +60,24 @@ def _qsweep_fn(n_chunks: int, chunk: int, d_pad: int, kf: int, rt: float):
         return fn
 
     @jax.jit
-    def run(tbl_i8, scales, qs_i8):
+    def run(tbl_i8, scales, bias, qs_i8, q_scale):
         B = qs_i8.shape[0]
 
         def body(_, xs):
-            cv, cs = xs  # [chunk, d_pad] i8, [chunk] f32
+            cv, cs, cb = xs  # [chunk, d_pad] i8, [chunk] f32, [chunk] f32
             s32 = jax.lax.dot_general(
                 qs_i8, cv,
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )
-            s = s32.astype(jnp.float32) * cs[None, :]
+            s = (
+                s32.astype(jnp.float32) * cs[None, :] * q_scale[:, None]
+                + cb[None, :]
+            )
             nd, ni = jax.lax.approx_max_k(s, kf, recall_target=rt)
             return None, (nd, ni)
 
-        _, (nds, nis) = jax.lax.scan(body, None, (tbl_i8, scales))
+        _, (nds, nis) = jax.lax.scan(body, None, (tbl_i8, scales, bias))
         offs = (jnp.arange(n_chunks, dtype=jnp.int32) * chunk)[None, :, None]
         alld = jnp.moveaxis(nds, 0, 1).reshape(B, n_chunks * kf)
         alli = (jnp.moveaxis(nis, 0, 1) + offs).reshape(B, n_chunks * kf)
@@ -76,7 +87,7 @@ def _qsweep_fn(n_chunks: int, chunk: int, d_pad: int, kf: int, rt: float):
         return jnp.take_along_axis(alli, sel, axis=1), sc
 
     _QSWEEP_FNS[key] = run
-    return fn or run
+    return run
 
 
 class QuantSweepTable:
@@ -85,6 +96,7 @@ class QuantSweepTable:
     def __init__(self) -> None:
         self.tbl = None  # [n_chunks, chunk, d_pad] int8 on device
         self.scales = None  # [n_chunks, chunk] f32 (0 = dead row)
+        self.bias = None  # [n_chunks, chunk] f32 (-inf = dead; L2: -||v||^2)
         self.chunk = self.n_chunks = self.d_pad = 0
         self.n = 0
         self.distance = "Cosine"
@@ -94,21 +106,22 @@ class QuantSweepTable:
     def quantize_rows(vecs: np.ndarray, distance: str,
                       alive: Optional[np.ndarray] = None,
                       out_q: Optional[np.ndarray] = None,
-                      out_s: Optional[np.ndarray] = None):
-        """Returns (q_rows int8 [n, d], scales f32 [n]) in scoring form:
-        score(q, r) = (q_i8 . r_i8) * scales[r] monotonically ranks the
-        true metric for a fixed query (cosine/IP: descending dot; L2 is
-        not supported — use cosine on normalized data).
+                      out_s: Optional[np.ndarray] = None,
+                      out_b: Optional[np.ndarray] = None):
+        """Returns (q_rows int8 [n, d], scales f32 [n], bias f32 [n]) in
+        scoring form: score(q, r) = (q_i8 . r_i8) * scales[r] * scale_q
+        + bias[r] monotonically ranks the true metric for a fixed query
+        (cosine/IP: descending dot, bias 0; L2: scales doubled, bias
+        -||v||^2 so score = 2 q.v - ||v||^2 = ||q||^2 - ||q - v||^2).
 
         Processes in row blocks: at 10M x 768 the table is 30 GiB and a
         whole-array normalize/rint chain allocates 3-4 full f32 temps —
-        enough to OOM a 128 GiB host.  ``out_q``/``out_s`` let callers
-        pass preallocated (possibly padded) destinations."""
-        if distance not in ("Cosine", "IP"):
-            raise ValueError("int8 sweep supports Cosine/IP distances")
+        enough to OOM a 128 GiB host.  ``out_q``/``out_s``/``out_b`` let
+        callers pass preallocated (possibly padded) destinations."""
         n, d = vecs.shape
         q = out_q if out_q is not None else np.empty((n, d), dtype=np.int8)
         scale = out_s if out_s is not None else np.empty(n, dtype=np.float32)
+        bias = out_b if out_b is not None else np.zeros(n, dtype=np.float32)
         BLK = 262_144
         for s0 in range(0, n, BLK):
             v = np.asarray(vecs[s0 : s0 + BLK], dtype=np.float32)
@@ -120,10 +133,18 @@ class QuantSweepTable:
             q[s0 : s0 + len(v), :d] = np.clip(
                 np.rint(v / sc[:, None]), -127, 127
             )
+            if distance == "L2":
+                sc = sc * 2.0
+                bias[s0 : s0 + len(v)] = -np.einsum(
+                    "bd,bd->b", v, v, dtype=np.float64
+                )
+            else:
+                bias[s0 : s0 + len(v)] = 0.0
             scale[s0 : s0 + len(v)] = sc
         if alive is not None:
             scale[:n] = np.where(alive[:n], scale[:n], 0.0)
-        return q, scale
+            bias[:n] = np.where(alive[:n], bias[:n], -np.inf)
+        return q, scale, bias
 
     def load(self, vecs: np.ndarray, distance: str,
              alive: Optional[np.ndarray] = None, chunk: Optional[int] = None,
@@ -142,40 +163,50 @@ class QuantSweepTable:
         # intermediate copy; see quantize_rows block processing)
         qp = np.zeros((total, self.d_pad), dtype=np.int8)
         sp = np.zeros(total, dtype=np.float32)
+        bp = np.full(total, -np.inf, dtype=np.float32)  # padding rows dead
         self.quantize_rows(
-            vecs, distance, alive, out_q=qp[:n, :d], out_s=sp[:n]
+            vecs, distance, alive,
+            out_q=qp[:n, :d], out_s=sp[:n], out_b=bp[:n],
         )
         self.tbl = jax.device_put(
             jnp.asarray(qp.reshape(n_chunks, chunk, self.d_pad)))
         self.scales = jax.device_put(
             jnp.asarray(sp.reshape(n_chunks, chunk)))
+        self.bias = jax.device_put(
+            jnp.asarray(bp.reshape(n_chunks, chunk)))
         if keep_host:
             # callers that disk-cache the staging (bench reruns) keep the
             # host copies; pulling 7+ GiB back through the relay is ~100s
-            self.host_qp, self.host_sp = qp, sp
+            self.host_qp, self.host_sp, self.host_bp = qp, sp, bp
         return self
 
     def quantize_queries(self, qs: np.ndarray):
+        """(q_i8 padded, per-query scale f32 [B])."""
         q = np.asarray(qs, dtype=np.float32)
         if self.distance == "Cosine":
             nrm = np.linalg.norm(q, axis=1, keepdims=True)
             q = q / np.where(nrm > 0, nrm, 1.0)
         mx = np.abs(q).max(axis=1)
-        scale = np.where(mx > 0, mx / 127.0, 1.0)
+        scale = np.where(mx > 0, mx / 127.0, 1.0).astype(np.float32)
         qi = np.clip(np.rint(q / scale[:, None]), -127, 127).astype(np.int8)
         qp = np.zeros((q.shape[0], self.d_pad), dtype=np.int8)
         qp[:, : q.shape[1]] = qi
-        return qp
+        return qp, scale
 
     def search_candidates(self, qs: np.ndarray, kf: int, rt: float = 0.95):
         """(ids [B, kf], approx scores) from the quantized scan."""
         jax, jnp = _jx()
         fn = _qsweep_fn(self.n_chunks, self.chunk, self.d_pad, kf, rt)
-        qp = self.quantize_queries(qs)
-        ids, sc = fn(self.tbl, self.scales, jnp.asarray(qp))
+        qp, qsc = self.quantize_queries(qs)
+        if self.bias is None:  # tables loaded before the bias lane existed
+            self.bias = jnp.where(
+                self.scales > 0, 0.0, -jnp.inf
+            ).astype(jnp.float32)
+        ids, sc = fn(self.tbl, self.scales, self.bias,
+                     jnp.asarray(qp), jnp.asarray(qsc))
         ids = np.asarray(ids, dtype=np.int64)
         sc = np.asarray(sc)
-        bad = (ids < 0) | (ids >= self.n) | ~np.isfinite(sc) | (sc == 0.0)
+        bad = (ids < 0) | (ids >= self.n) | ~np.isfinite(sc)
         return np.where(bad, -1, ids), sc
 
 
@@ -199,6 +230,9 @@ def quant_search(vectors: np.ndarray, table: QuantSweepTable, qs: np.ndarray,
         dots = np.einsum("bkd,bd->bk", cand, q)
         sims = dots / np.where(cn > 0, cn, 1.0)
         d = 1.0 - sims
+    elif table.distance == "L2":
+        diff = cand - q[:, None, :]
+        d = np.einsum("bkd,bkd->bk", diff, diff)
     else:  # IP
         d = -np.einsum("bkd,bd->bk", cand, q)
     d = np.where(ids >= 0, d, np.inf)

@@ -793,6 +793,8 @@ class Parser:
             return A.SysOp("list_fixed_rules")
         if kw == "running":
             return A.SysOp("running")
+        if kw == "fallbacks":
+            return A.SysOp("fallbacks")
         if kw == "kill":
             v = self.eval_const_expr(self.parse_expr())
             return A.SysOp("kill", {"id": v})

@@ -37,6 +37,16 @@ def run_sys_op(db, op: A.SysOp, immutable: bool = False):
             ]
         return NamedRows(["id", "started_at"], rows)
 
+    if kind == "fallbacks":
+        from ..utils import fallback
+
+        firsts = fallback.first_errors()
+        rows = [
+            [site, n, firsts.get(site, "")]
+            for site, n in sorted(fallback.counts().items())
+        ]
+        return NamedRows(["site", "count", "first_error"], rows)
+
     if kind == "kill":
         qid = p["id"]
         with db._running_lock:

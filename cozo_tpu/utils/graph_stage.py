@@ -37,16 +37,27 @@ def _load():
         native = os.path.join(here, "native")
         so = os.path.join(native, "libgraphstage.so")
         src = os.path.join(native, "graphstage.c")
-        if not os.path.exists(so) or (
-            os.path.exists(src)
-            and os.path.getmtime(src) > os.path.getmtime(so)
-        ):
+
+        def compile_so():
             subprocess.run(
                 ["gcc", "-O3", "-shared", "-fPIC", "-o", so, src],
                 check=True,
                 capture_output=True,
             )
-        lib = ctypes.CDLL(so)
+
+        # mtime comparison misfires on fresh git checkouts (both files get
+        # the checkout time), so also retry with a forced recompile if
+        # loading a stale/wrong-arch committed binary fails
+        if not os.path.exists(so) or (
+            os.path.exists(src)
+            and os.path.getmtime(src) > os.path.getmtime(so)
+        ):
+            compile_so()
+        try:
+            lib = ctypes.CDLL(so)
+        except OSError:
+            compile_so()
+            lib = ctypes.CDLL(so)
         lib.stage_by_dst.restype = ctypes.c_int
         lib.stage_by_dst.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p,

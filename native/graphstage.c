@@ -30,7 +30,12 @@ int stage_by_dst(const int64_t *indptr, const int32_t *dst,
     int64_t *cur = (int64_t *)malloc((size_t)n_slots * sizeof(int64_t));
     if (!cur) return -1;
     memset(deg_out, 0, (size_t)n_slots * sizeof(int64_t));
-    for (int64_t i = 0; i < e; i++) deg_out[dst[i]]++;
+    for (int64_t i = 0; i < e; i++) {
+        /* corrupt input must not become a silent OOB heap write (the
+         * numpy fallback would raise); callers treat rc!=0 as fallback */
+        if (dst[i] < 0 || dst[i] >= n_slots) { free(cur); return -1; }
+        deg_out[dst[i]]++;
+    }
     int64_t acc = 0;
     for (int64_t s = 0; s < n_slots; s++) {
         cur[s] = acc;

@@ -54,9 +54,34 @@ def test_ip_metric(data):
     assert agree > 0.95, agree
 
 
-def test_l2_rejected(data):
-    with pytest.raises(ValueError):
-        QuantSweepTable().load(data, "L2")
+def test_l2_metric(data):
+    """L2 serves through the bias lane (VERDICT r3 weak #8): rows stored
+    with doubled scales + bias -||v||^2 so the int8 scan ranks
+    2 q.v - ||v||^2; the host re-rank restores exact squared-L2 order."""
+    t = QuantSweepTable().load(data, "L2")
+    rng = np.random.default_rng(7)
+    qs = data[:16] + 0.05 * rng.standard_normal((16, 48)).astype(np.float32)
+    ids, d = quant_search(data, t, qs, 10, overfetch=8, rt=0.99)
+    d2 = ((data[None, :, :] - qs[:, None, :]) ** 2).sum(axis=2)
+    gt = np.argsort(d2, axis=1)[:, :10]
+    rec = np.mean([
+        len(set(ids[b].tolist()) & set(gt[b].tolist())) / 10
+        for b in range(16)
+    ])
+    assert rec > 0.97, rec
+    # returned distances are exact squared L2, ascending
+    assert (np.diff(d, axis=1) >= -1e-5).all()
+    exact = np.take_along_axis(d2, ids, axis=1)
+    assert np.allclose(d, exact, rtol=1e-4, atol=1e-4)
+
+
+def test_l2_dead_rows(data):
+    alive = np.ones(len(data), bool)
+    alive[::2] = False
+    t = QuantSweepTable().load(data, "L2", alive=alive)
+    qs = data[::2][:8]
+    ids, _ = quant_search(data, t, qs, 5)
+    assert not np.isin(ids[ids >= 0], np.nonzero(~alive)[0]).any()
 
 
 def test_auto_quant_serving_policy(monkeypatch):
