@@ -377,6 +377,42 @@ def tuple_key(tup) -> tuple:
     return tuple(cmp_key(v) for v in tup)
 
 
+_NEGZERO_KEY = (T_NUM, "-0.0")
+
+
+def fast_key(v):
+    """Hashable dedup key with cmp_key's EQUALITY semantics but NOT its
+    order (keys of different types don't compare).  ~10x cheaper than
+    cmp_key for the scalar-heavy case: raw Python hashing instead of
+    float_order_bits bit-twiddling per value.  Used by entry-store dedup
+    (query/eval.FastEntryStore) where output order is imposed later by
+    the Db's own value-order sort.
+
+    Equality pitfalls handled: 1 == 1.0 == True in Python but Int(1),
+    Float(1.0), Bool(true) are distinct values (type tag in the key);
+    -0.0 == 0.0 (sign special-cased); NaN != NaN (canonicalized)."""
+    t = type(v)
+    if t is int:
+        return v  # plain ints dominate keys; bare int is its own tag
+    if t is float:
+        if v != v:
+            # NaNs with distinct payloads are distinct values under
+            # cmp_key (order bits); match that exactly
+            return (T_NUM, 2, float_order_bits(v))
+        if v == 0.0 and _F64.pack(v)[0] & 0x80:
+            return _NEGZERO_KEY
+        return (T_NUM, 1, v)
+    if t is str:
+        return (T_STR, v)
+    if t is bool:
+        return (T_BOOL, v)
+    if v is None:
+        return (T_NULL,)
+    if t is bytes:
+        return (T_BYTES, v)
+    return cmp_key(v)
+
+
 def value_eq(a, b) -> bool:
     """Identity-level equality (Int 1 != Float 1.0); the `==` operator in
     expressions coerces numerics separately."""

@@ -976,8 +976,10 @@ class LabelPropagation(FixedRule):
                         remap[l] = len(remap)
                     out_put([remap[l], v])
                 return
-            except Exception:  # pragma: no cover — device fallback
-                pass
+            except Exception as _e:  # pragma: no cover — device fallback
+                from ..utils import fallback as _fb
+
+                _fb.record("graph.labelprop_device", _e)
         labels = np.arange(n, dtype=np.int64)
         rng = random.Random(0xC0203)
         for _ in range(max_iter):
@@ -1012,6 +1014,7 @@ class LabelPropagation(FixedRule):
         vertex (see PageRank.run_bulk for the presorted contract)."""
         undirected = payload.bool_option("undirected", False)
         max_iter = payload.int_option("max_iter", 10)
+        degree_cap = payload.int_option("degree_cap", 0)
         indptr, dst, w, verts = _build_adj_w(payload, True)
         n = len(verts)
         if n == 0:
@@ -1024,8 +1027,12 @@ class LabelPropagation(FixedRule):
             labels = labelprop_jax(
                 indptr, dst, w=w, iterations=max_iter,
                 cache_key=graph_content_key(indptr, dst),
+                degree_cap=degree_cap,
             )
-        except Exception:  # pragma: no cover — device fallback
+        except Exception as _e:  # pragma: no cover — device fallback
+            from ..utils import fallback as _fb
+
+            _fb.record("graph.labelprop_device_bulk", _e)
             return None
         _check(poison)
         # canonicalize label ids in first-seen order (vectorized: rank of

@@ -125,8 +125,9 @@ def _build_step_fn(n_chunks: int, chunk: int, d_pad: int, W: int, P: int,
         else:
             qs = new_rows
 
-        # per-chunk approx top-(P+1); one exact merge at the end (the
-        # in-scan exact merges were ~35% of wave time, see BENCH_NOTES)
+        # per-chunk raw PartialReduce bins (aggregate_to_topk=False); one
+        # exact top_k over all bins at the end — the per-chunk exact
+        # aggregation pass dominated the sweep (see exact_knn._sweep_fn)
         def body(_, xs):
             chunk_v, chunk_b = xs
             s = jax.lax.dot_general(
@@ -134,14 +135,17 @@ def _build_step_fn(n_chunks: int, chunk: int, d_pad: int, W: int, P: int,
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) + chunk_b[None, :]
-            nd, ni = jax.lax.approx_max_k(s, P + 1, recall_target=rt)
+            nd, ni = jax.lax.approx_max_k(
+                s, P + 1, recall_target=rt, aggregate_to_topk=False
+            )
             return None, (nd, ni)
 
         _, (nds, nis) = jax.lax.scan(body, None, (tbl, bias))
+        wbin = nds.shape[2]
         offs = (jnp.arange(n_chunks, dtype=jnp.int32) * chunk)[None, :, None]
-        alld = jnp.moveaxis(nds, 0, 1).reshape(W, n_chunks * (P + 1))
-        alli = (jnp.moveaxis(nis, 0, 1) + offs).reshape(W, n_chunks * (P + 1))
-        if n_chunks == 1:
+        alld = jnp.moveaxis(nds, 0, 1).reshape(W, n_chunks * wbin)
+        alli = (jnp.moveaxis(nis, 0, 1) + offs).reshape(W, n_chunks * wbin)
+        if n_chunks * wbin == P + 1:
             scores, ids = alld, alli
         else:
             scores, sel = jax.lax.top_k(alld, P + 1)
@@ -249,14 +253,17 @@ def _build_step_fn_i8(n_chunks: int, chunk: int, d_pad: int, W: int, P: int,
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) * csc[None, :] + cb[None, :]
-            nd, ni = jax.lax.approx_max_k(s, P + 1, recall_target=rt)
+            nd, ni = jax.lax.approx_max_k(
+                s, P + 1, recall_target=rt, aggregate_to_topk=False
+            )
             return None, (nd, ni)
 
         _, (nds, nis) = jax.lax.scan(body, None, (tbl_i8, scale, bias))
+        wbin = nds.shape[2]
         offs = (jnp.arange(n_chunks, dtype=jnp.int32) * chunk)[None, :, None]
-        alld = jnp.moveaxis(nds, 0, 1).reshape(W, n_chunks * (P + 1))
-        alli = (jnp.moveaxis(nis, 0, 1) + offs).reshape(W, n_chunks * (P + 1))
-        if n_chunks == 1:
+        alld = jnp.moveaxis(nds, 0, 1).reshape(W, n_chunks * wbin)
+        alli = (jnp.moveaxis(nis, 0, 1) + offs).reshape(W, n_chunks * wbin)
+        if n_chunks * wbin == P + 1:
             scores, ids = alld, alli
         else:
             scores, sel_t = jax.lax.top_k(alld, P + 1)

@@ -78,10 +78,12 @@ def _sweep_fn(n_chunks: int, chunk: int, d_pad: int, k: int, rt: float,
     def run(tbl, bias, qs):
         B = qs.shape[0]
 
-        # per-chunk top-kf only; ONE exact merge at the end.  The
-        # previous in-scan running merge paid an exact top_k per chunk —
-        # measured ~35% of the whole sweep at 300K (the merge width is
-        # 2·kf but exact top_k is ~6x approx_max_k per element).
+        # per-chunk approx_max_k with aggregate_to_topk=False: the raw
+        # PartialReduce bins come back un-aggregated and ONE exact top_k
+        # runs over the concatenated bins at the end.  Measured on v5e at
+        # 1.18M x 128 B=4096: the per-chunk exact aggregation pass cost
+        # 82ms of a 122ms sweep; deferring it gives 58.6K QPS at
+        # recall@10 = 1.0000 (benches/profile_sweep_phases2.py).
         def body(_, xs):
             chunk_v, chunk_b = xs
             s = jax.lax.dot_general(
@@ -100,14 +102,17 @@ def _sweep_fn(n_chunks: int, chunk: int, d_pad: int, k: int, rt: float,
             if rt >= 1.0:
                 nd, ni = jax.lax.top_k(s, kf)
             else:
-                nd, ni = jax.lax.approx_max_k(s, kf, recall_target=rt)
+                nd, ni = jax.lax.approx_max_k(
+                    s, kf, recall_target=rt, aggregate_to_topk=False
+                )
             return None, (nd, ni)
 
         _, (nds, nis) = jax.lax.scan(body, None, (tbl, bias))
+        w = nds.shape[2]  # PartialReduce bin count (>= kf when agg off)
         offs = (jnp.arange(n_chunks, dtype=jnp.int32) * chunk)[None, :, None]
-        alld = jnp.moveaxis(nds, 0, 1).reshape(B, n_chunks * kf)
-        alli = (jnp.moveaxis(nis, 0, 1) + offs).reshape(B, n_chunks * kf)
-        if n_chunks == 1:
+        alld = jnp.moveaxis(nds, 0, 1).reshape(B, n_chunks * w)
+        alli = (jnp.moveaxis(nis, 0, 1) + offs).reshape(B, n_chunks * w)
+        if n_chunks * w == kf:
             bs, bi = alld, alli
         else:
             bs, sel = jax.lax.top_k(alld, kf)

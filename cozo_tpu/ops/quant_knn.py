@@ -74,14 +74,20 @@ def _qsweep_fn(n_chunks: int, chunk: int, d_pad: int, kf: int, rt: float):
                 s32.astype(jnp.float32) * cs[None, :] * q_scale[:, None]
                 + cb[None, :]
             )
-            nd, ni = jax.lax.approx_max_k(s, kf, recall_target=rt)
+            # raw PartialReduce bins; ONE exact top_k after the scan
+            # (the per-chunk aggregation pass dominated the sweep — see
+            # exact_knn._sweep_fn)
+            nd, ni = jax.lax.approx_max_k(
+                s, kf, recall_target=rt, aggregate_to_topk=False
+            )
             return None, (nd, ni)
 
         _, (nds, nis) = jax.lax.scan(body, None, (tbl_i8, scales, bias))
+        w = nds.shape[2]
         offs = (jnp.arange(n_chunks, dtype=jnp.int32) * chunk)[None, :, None]
-        alld = jnp.moveaxis(nds, 0, 1).reshape(B, n_chunks * kf)
-        alli = (jnp.moveaxis(nis, 0, 1) + offs).reshape(B, n_chunks * kf)
-        if n_chunks == 1:
+        alld = jnp.moveaxis(nds, 0, 1).reshape(B, n_chunks * w)
+        alli = (jnp.moveaxis(nis, 0, 1) + offs).reshape(B, n_chunks * w)
+        if n_chunks * w == kf:
             return alli, alld
         sc, sel = jax.lax.top_k(alld, kf)
         return jnp.take_along_axis(alli, sel, axis=1), sc

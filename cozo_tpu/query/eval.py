@@ -27,7 +27,7 @@ from ..data.program import (
     SearchApplyAtom,
     UnificationAtom,
 )
-from ..data.value import DSet, Validity, cmp_key, value_eq
+from ..data.value import DSet, Validity, cmp_key, fast_key, value_eq
 from ..utils.errors import EvalError, QueryError
 from .normalize import ConstantRuleSet, FixedRuleSet
 
@@ -80,6 +80,18 @@ class MemoStore:
         if k not in self.total:
             self.new[k] = row
 
+    def put_new_many(self, rows) -> None:
+        """Bulk put_new: hoists the method dispatch + key construction
+        out of the per-row epoch loop (the entry store takes 40K+ rows
+        per vector-pivot join batch)."""
+        ko = self.key_of
+        total = self.total
+        new = self.new
+        for row in rows:
+            k = ko(row)
+            if k not in total:
+                new[k] = list(row)
+
     def exists(self, row) -> bool:
         return self.key_of(row) in self.total or self.key_of(row) in self.new
 
@@ -113,6 +125,37 @@ class MemoStore:
             if not delta:
                 self._indexes[key] = idx
         return idx
+
+
+class FastEntryStore(MemoStore):
+    """MemoStore for the entry rule ('?') only: dedup keys come from
+    `fast_key` (equality-exact, order-free — ~10x cheaper than cmp_key's
+    per-value bit twiddling, which dominated the vector-pivot join's host
+    time at 4096x10 result rows).  Valid ONLY for '?' because nothing ever
+    scans the entry store as a dependency — the Db imposes value order on
+    the final rows itself (runtime/db.py output sort), so rows() may
+    yield insertion order."""
+
+    __slots__ = ()
+
+    def key_of(self, row: Sequence[Any]) -> tuple:
+        return tuple(map(fast_key, row))
+
+    def put_new_many(self, rows) -> None:
+        # rows stay tuples: nothing mutates entry-store rows, and the Db
+        # copies to lists at output
+        total = self.total
+        new = self.new
+        fk = fast_key
+        for row in rows:
+            k = tuple(map(fk, row))
+            if k not in total:
+                new[k] = row
+
+    def rows(self, delta: bool):
+        # fast keys are not mutually orderable; insertion order is fine
+        # for the only consumer (db output, which sorts by value order)
+        return (self.delta if delta else self.total).values()
 
 
 class MeetStore(MemoStore):
@@ -773,6 +816,10 @@ def _eval_stratum(stratum: Dict[str, Any], ctx: EvalContext, limit_hint) -> None
                     for a in aggrs0
                 ]
                 ctx.stores[name] = MeetStore(specs)
+            elif name == "?" and all(a is None for a in aggrs0):
+                # entry store with plain rules: nothing scans '?', the Db
+                # sorts output itself — cheap equality-only dedup keys
+                ctx.stores[name] = FastEntryStore()
             else:
                 ctx.stores[name] = MemoStore()
 
@@ -805,8 +852,7 @@ def _eval_stratum(stratum: Dict[str, Any], ctx: EvalContext, limit_hint) -> None
             _run_fixed(name, rs, ctx)
         elif k == "plain":
             for clause in compiled[name]:
-                for row in clause.eval(ctx, None):
-                    store.put_new(list(row))
+                store.put_new_many(clause.eval(ctx, None))
                 if name == "?" and _limit_reached(ctx, limit_hint):
                     break
         elif k == "meet":

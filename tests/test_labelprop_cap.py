@@ -47,6 +47,55 @@ def test_degree_cap_keeps_community_structure():
     assert _purity(lab_cap, n, n_half) > 0.95
 
 
+def test_hybrid_matches_sort_kernel_on_hub_graph(monkeypatch):
+    """The hybrid kernel (dense device pick + exact host hub mode) must
+    produce EXACTLY the sort kernel's labels: both are synchronous
+    weighted-mode updates with smallest-label tie-break."""
+    import cozo_tpu.ops.graph_algos as ga
+
+    indptr, dst, n, n_half = _planted_graph(n_half=200, hub_extra=200)
+    monkeypatch.setenv("COZO_TPU_LP_IMPL", "sort")
+    lab_sort = labelprop_jax(indptr, dst, iterations=6)
+    monkeypatch.setenv("COZO_TPU_LP_IMPL", "hybrid")
+    lab_hyb = labelprop_jax(indptr, dst, iterations=6)
+    assert (lab_sort == lab_hyb).all()
+
+
+def test_hybrid_weighted_hub_exact(monkeypatch):
+    """Weighted hub mode through the hybrid path is exact: strong A
+    edges beat a weak B flood WITHOUT any degree_cap truncation."""
+    n = 300
+    hub = n - 1
+    edges, w = [], []
+    for i in range(60):
+        edges.append((i, hub))
+        w.append(1.0)  # strong-ish A edges
+    for i in range(100, 100 + LP_DENSE_DMAX + 40):
+        edges.append((i % (n - 1), hub))
+        w.append(0.3)  # weak B flood (but MORE total weight than A)
+    for base, size in ((0, 60), (100, 140)):
+        for i in range(size):
+            for j in range(1, 4):
+                edges.append((base + i, base + (i + j) % size))
+                w.append(5.0)
+    src = np.array([e[0] for e in edges])
+    dst = np.array([e[1] for e in edges])
+    wa = np.array(w, dtype=np.float32)
+    order = np.argsort(src, kind="stable")
+    src, dst, wa = src[order], dst[order], wa[order]
+    indptr = np.zeros(n + 1, np.int64)
+    np.add.at(indptr, src + 1, 1)
+    indptr = np.cumsum(indptr)
+    # exact mode: B's flood carries 168 * 0.3 = 50.4 > A's 60 * 1.0?
+    # no: 60 > 50.4 -> hub labels A.  A capped sample could get this
+    # wrong either way; the hybrid must get it exactly right.
+    lab = labelprop_jax(indptr, dst, w=wa, iterations=10)
+    from collections import Counter as _C
+
+    a_label = _C(lab[:60].tolist()).most_common(1)[0][0]
+    assert lab[hub] == a_label, (lab[hub], a_label)
+
+
 def test_degree_cap_weighted_keeps_strong_edges():
     """With weights, the cap must keep the HIGHEST-weight in-edges: a hub
     whose strong edges all come from community A must label with A even
