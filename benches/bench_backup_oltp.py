@@ -109,7 +109,19 @@ def main():
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     import json
-    log(json.dumps({k: round(v, 1) for k, v in results.items()}))
+    out = {
+        "n_rows": N,
+        "host": "single-core container CPU (reference numbers are "
+                "rayon-parallel on a 6-8 core 2020 Mac Mini)",
+        "reference": {"backup_rows_s": 1_000_000, "restore_rows_s": 400_000,
+                      "mixed_qps_6_8_cores": 100_000},
+        **{k: round(v, 1) for k, v in results.items()},
+    }
+    log(json.dumps(out))
+    dest = sys.argv[1] if len(sys.argv) > 1 else None
+    if dest:
+        with open(dest, "w") as f:
+            json.dump(out, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -45,8 +45,8 @@ db.run_script(
     "::lsh create doc:sim {extractor: body, tokenizer: Simple, n_perm: 128, "
     "target_threshold: 0.7}"
 )
-el = time.time() - t0
-print(f"lsh index build: {el:.0f}s ({N/el:,.0f} docs/s)", flush=True)
+build_s = time.time() - t0
+print(f"lsh index build: {build_s:.0f}s ({N/build_s:,.0f} docs/s)", flush=True)
 
 # query: the 1000 originals must find their planted dups
 t0 = time.time()
@@ -61,3 +61,16 @@ for i in range(B):
         hits += 1
 el = time.time() - t0
 print(f"queries: {B/el:,.0f} QPS, planted-dup recall {hits/B:.3f}", flush=True)
+
+import json
+
+out = {
+    "n_docs": N, "n_perm": 128, "target_threshold": 0.7,
+    "build_s": round(build_s, 1), "build_docs_s": round(N / build_s, 1),
+    "query_qps": round(B / el, 1), "planted_dup_recall": hits / B,
+    "host": "single-core container CPU",
+}
+print(json.dumps(out), flush=True)
+if len(sys.argv) > 1:
+    with open(sys.argv[1], "w") as f:
+        json.dump(out, f, indent=1)

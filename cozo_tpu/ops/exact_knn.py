@@ -10,9 +10,13 @@ runs in ~100 ms — *exact* search beats approximate pointer chasing.
 
 Layout: the table lives on device as [n_chunks, CHUNK, d_pad] f32 with a
 score bias [n_chunks, CHUNK] (0 alive, -inf dead/padding).  A lax.scan
-over chunks computes bf16 MXU scores (f32 accumulation), per-chunk
-`lax.approx_max_k` (TPU PartialReduce — ~6x faster than exact top_k at
-recall_target 0.99), and a running exact top-k merge.
+over chunks computes bf16 MXU scores (f32 accumulation) and per-chunk
+`lax.approx_max_k` with aggregate_to_topk=False (raw TPU PartialReduce
+bins); ONE exact top_k runs over the concatenated bins, then an exact
+f32 re-rank of the over-fetched candidates — all in a single jit call.
+Queries cross the relay as unpadded f16 and results come back as one
+packed int32 pull (ids + score bits): the axon link's per-transfer cost
+(~30ms fixed + ~30MB/s) otherwise dominates at B=4096.
 
 Distance handling reduces every metric to a max-similarity problem:
   L2:     s = 2 q·v - ||v||^2          (d = ||q||^2 - s)
@@ -61,13 +65,15 @@ _SWEEP_FNS = {}
 
 
 def _sweep_fn(n_chunks: int, chunk: int, d_pad: int, k: int, rt: float,
-              compute_dtype: str, rerank_k: int = 0, metric: str = "IP"):
+              compute_dtype: str, rerank_k: int = 0, metric: str = "IP",
+              d_in: int = 0):
     """rerank_k > 0: over-fetch rerank_k candidates in the bf16 scan, then
     re-score them on device in true f32 (HIGHEST precision; L2 uses the
     cancellation-free diff form) and return the exact top-k — all inside
     one jit, so serving is a single relay round-trip."""
     jax, jnp = _jx()
-    key = (n_chunks, chunk, d_pad, k, rt, compute_dtype, rerank_k, metric)
+    key = (n_chunks, chunk, d_pad, k, rt, compute_dtype, rerank_k, metric,
+           d_in)
     fn = _SWEEP_FNS.get(key)
     if fn is not None:
         return fn
@@ -75,7 +81,14 @@ def _sweep_fn(n_chunks: int, chunk: int, d_pad: int, k: int, rt: float,
     kf = max(k, rerank_k)
 
     @jax.jit
-    def run(tbl, bias, qs):
+    def run(tbl, bias, qs_in):
+        # queries arrive f16 (half the bytes over the ~30-66ms/2MB axon
+        # relay link; f16's 11-bit mantissa out-resolves the bf16 scoring
+        # lane) and UNPADDED (d_in real dims) unless the caller opted
+        # out — widen + zero-pad once on device
+        qs = qs_in.astype(jnp.float32)
+        if d_in and d_in < d_pad:
+            qs = jnp.pad(qs, ((0, 0), (0, d_pad - d_in)))
         B = qs.shape[0]
 
         # per-chunk approx_max_k with aggregate_to_topk=False: the raw
@@ -118,7 +131,11 @@ def _sweep_fn(n_chunks: int, chunk: int, d_pad: int, k: int, rt: float,
             bs, sel = jax.lax.top_k(alld, kf)
             bi = jnp.take_along_axis(alli, sel, axis=1)
         if rerank_k <= 0:
-            return bi, bs
+            # pack (ids, score-bits) into ONE int32 array: every device→
+            # host pull pays ~30ms fixed relay latency, so one pull, not two
+            return jnp.concatenate(
+                [bi.astype(jnp.int32),
+                 jax.lax.bitcast_convert_type(bs, jnp.int32)], axis=1)
         # exact f32 rescore of the candidate set
         flat = tbl.reshape(-1, d_pad)
         safe = jnp.where(bi >= 0, bi, 0)
@@ -138,7 +155,9 @@ def _sweep_fn(n_chunks: int, chunk: int, d_pad: int, k: int, rt: float,
         s_exact = jnp.where(valid, s_exact, -jnp.inf)
         ts, ti = jax.lax.top_k(s_exact, k)
         out_i = jnp.take_along_axis(bi, ti, axis=1)
-        return out_i, ts
+        return jnp.concatenate(
+            [out_i.astype(jnp.int32),
+             jax.lax.bitcast_convert_type(ts, jnp.int32)], axis=1)
 
     _SWEEP_FNS[key] = run
     return run
@@ -256,7 +275,7 @@ class SweepTable:
         index,
         qs: np.ndarray,
         k: int,
-        rt: float = 0.99,
+        rt: float = 0.98,
         compute_dtype: str = "bf16",
         exact_rerank: bool = True,
     ) -> Tuple[np.ndarray, np.ndarray]:
@@ -265,13 +284,27 @@ class SweepTable:
         d = index.dim
         q = np.asarray(qs, dtype=np.float32)
         B = q.shape[0]
-        qp = np.zeros((B, self.d_pad), dtype=np.float32)
+        # f16 query upload by default: halves the dominant per-call cost
+        # (the axon relay moves the [B, d_pad] batch at ~30MB/s); f16's
+        # 11-bit mantissa perturbs scores ~1e-4 relative — measured recall
+        # unchanged at the 0.9999 operating point.  COZO_TPU_Q_F16=0
+        # restores exact f32 queries (bind_distance then bit-exact).
+        import os as _os
+
+        qdt = (
+            np.float16
+            if compute_dtype == "bf16"  # the f32 mode stays bit-exact
+            and _os.environ.get("COZO_TPU_Q_F16", "1") == "1"
+            else np.float32
+        )
+        # unpadded upload: send [B, d], zero-pad to d_pad on device
+        qp = np.empty((B, d), dtype=qdt)
         if index.distance == "Cosine":
             nrm = np.linalg.norm(q, axis=1, keepdims=True)
             nrm = np.where(nrm > 0, nrm, 1.0)
-            qp[:, :d] = q / nrm
+            qp[:] = q / nrm
         else:
-            qp[:, :d] = q
+            qp[:] = q
         # over-fetch + on-device exact f32 re-rank: corrects bf16 rank noise
         # inside the candidate set AND makes bind_distance exact (reference
         # hnsw_knn returns true f32 distances, runtime/hnsw.rs:943-1006),
@@ -279,11 +312,14 @@ class SweepTable:
         rerank_k = min(k + 16, self.n_chunks * self.chunk) if exact_rerank else 0
         fn = _sweep_fn(
             self.n_chunks, self.chunk, self.d_pad, k, rt, compute_dtype,
-            rerank_k=rerank_k, metric=index.distance,
+            rerank_k=rerank_k, metric=index.distance, d_in=d,
         )
-        ids, scores = fn(self.tbl, self.bias, jnp.asarray(qp))
-        ids = np.asarray(ids, dtype=np.int64)
-        scores = np.asarray(scores, dtype=np.float64)
+        packed = np.asarray(fn(self.tbl, self.bias, jnp.asarray(qp)))
+        kk = packed.shape[1] // 2
+        ids = packed[:, :kk].astype(np.int64)
+        scores = np.ascontiguousarray(packed[:, kk:]).view(
+            np.float32
+        ).astype(np.float64)
         bad = ~np.isfinite(scores) | (ids < 0) | (ids >= index.n)
         ids = np.where(bad, -1, ids)
         if exact_rerank:
@@ -298,7 +334,7 @@ class SweepTable:
         return ids, dists
 
 
-def sweep_search(index, qs, k, rt: float = 0.99, compute_dtype: str = "bf16",
+def sweep_search(index, qs, k, rt: float = 0.98, compute_dtype: str = "bf16",
                  exact_rerank: bool = True):
     """Module-level entry: per-index cached SweepTable."""
     st = getattr(index, "_sweep_table", None)

@@ -876,8 +876,45 @@ def labelprop_jax(indptr, dst, w=None, iterations=10, cache_key=None,
     return np.asarray(labels)[:n]
 
 
+def _lp_dense_pick(labels, nbb, wb, n_pad, has_in, n_real, dmax):
+    """Shared pick: weighted mode per node over its padded in-neighbor
+    row; ties -> smallest label.  `wb` None means unit weights (the
+    valid mask comes from the neighbor slots themselves) — at 10M-node
+    scale the [n_pad, dmax] f32 weight array alone is 8.6GB of HBM, so
+    unweighted graphs never materialize it."""
+    import jax
+    import jax.numpy as jnp
+
+    BIG = jnp.int32(2**31 - 1)
+    dummy = n_pad - 1
+
+    def blk_fn(carry, xs):
+        if wb is None:
+            (nb_b,) = xs
+            valid = nb_b != dummy
+            w_b = valid.astype(jnp.float32)
+        else:
+            nb_b, w_b = xs
+            valid = w_b > 0
+        L = labels[nb_b]  # [blk, dmax]
+        eq = (L[:, :, None] == L[:, None, :]).astype(jnp.float32)
+        # wsum[b, d] = total weight of label L[b, d] among b's in-nbrs
+        wsum = jnp.einsum("bdq,bq->bd", eq, w_b)
+        wsum = jnp.where(valid, wsum, -jnp.inf)
+        maxw = jnp.max(wsum, axis=1, keepdims=True)
+        cand = jnp.where(wsum == maxw, L, BIG)
+        return carry, jnp.min(cand, axis=1)
+
+    xs = (nbb,) if wb is None else (nbb, wb)
+    _, out = jax.lax.scan(blk_fn, None, xs)
+    picked = out.reshape(n_pad)
+    return jnp.where(
+        has_in & (jnp.arange(n_pad) < n_real), picked, labels
+    ).astype(jnp.int32)
+
+
 def _labelprop_dense_compiled(n_pad: int, dmax: int, iterations: int,
-                              blk: int):
+                              blk: int, weighted: bool):
     """Dense bounded-degree label propagation: for graphs whose max
     in-degree fits a padded [n, dmax] neighbor array (HNSW proximity
     graphs are degree-bounded by construction, m_max0), the weighted
@@ -889,33 +926,15 @@ def _labelprop_dense_compiled(n_pad: int, dmax: int, iterations: int,
     Ties pick the smallest label (exact: min over argmax-weight set)."""
     jax, jnp = _jax()
     n_blocks = n_pad // blk
-    BIG = jnp.int32(2**31 - 1)
 
     @jax.jit
     def run(nb, w, has_in, n_real):
-        # nb [n_pad, dmax] int32 (pad rows point at n_pad-1, w=0)
         nbb = nb.reshape(n_blocks, blk, dmax)
-        wb = w.reshape(n_blocks, blk, dmax)
+        wb = w.reshape(n_blocks, blk, dmax) if weighted else None
 
         def body(_, labels):
-            def blk_fn(carry, xs):
-                nb_b, w_b = xs
-                L = labels[nb_b]  # [blk, dmax]
-                eq = (L[:, :, None] == L[:, None, :]).astype(jnp.float32)
-                # wsum[b, d] = total weight of label L[b, d] among b's
-                # in-neighbors
-                wsum = jnp.einsum("bdq,bq->bd", eq, w_b)
-                valid = w_b > 0
-                wsum = jnp.where(valid, wsum, -jnp.inf)
-                maxw = jnp.max(wsum, axis=1, keepdims=True)
-                cand = jnp.where(wsum == maxw, L, BIG)
-                return carry, jnp.min(cand, axis=1)
-
-            _, out = jax.lax.scan(blk_fn, None, (nbb, wb))
-            picked = out.reshape(n_pad)
-            return jnp.where(
-                has_in & (jnp.arange(n_pad) < n_real), picked, labels
-            ).astype(jnp.int32)
+            return _lp_dense_pick(labels, nbb, wb, n_pad, has_in, n_real,
+                                  dmax)
 
         labels0 = jnp.arange(n_pad, dtype=jnp.int32)
         return jax.lax.fori_loop(0, iterations, body, labels0)
@@ -928,7 +947,8 @@ LP_DENSE_DMAX = 128
 _LP_STEP_CACHE = {}
 
 
-def _labelprop_dense_step_compiled(n_pad: int, dmax: int, blk: int):
+def _labelprop_dense_step_compiled(n_pad: int, dmax: int, blk: int,
+                                   weighted: bool):
     """One synchronous LP iteration over the dense padded-neighbor
     layout, labels in → picked labels out.  Same pick semantics as
     `_labelprop_dense_compiled` (weighted mode, smallest-label ties);
@@ -936,29 +956,12 @@ def _labelprop_dense_step_compiled(n_pad: int, dmax: int, blk: int):
     for hub nodes between device iterations."""
     jax, jnp = _jax()
     n_blocks = n_pad // blk
-    BIG = jnp.int32(2**31 - 1)
 
     @jax.jit
     def step(nb, w, has_in, n_real, labels):
         nbb = nb.reshape(n_blocks, blk, dmax)
-        wb = w.reshape(n_blocks, blk, dmax)
-
-        def blk_fn(carry, xs):
-            nb_b, w_b = xs
-            L = labels[nb_b]
-            eq = (L[:, :, None] == L[:, None, :]).astype(jnp.float32)
-            wsum = jnp.einsum("bdq,bq->bd", eq, w_b)
-            valid = w_b > 0
-            wsum = jnp.where(valid, wsum, -jnp.inf)
-            maxw = jnp.max(wsum, axis=1, keepdims=True)
-            cand = jnp.where(wsum == maxw, L, BIG)
-            return carry, jnp.min(cand, axis=1)
-
-        _, out = jax.lax.scan(blk_fn, None, (nbb, wb))
-        picked = out.reshape(n_pad)
-        return jnp.where(
-            has_in & (jnp.arange(n_pad) < n_real), picked, labels
-        ).astype(jnp.int32)
+        wb = w.reshape(n_blocks, blk, dmax) if weighted else None
+        return _lp_dense_pick(labels, nbb, wb, n_pad, has_in, n_real, dmax)
 
     return step
 
@@ -973,26 +976,34 @@ def _labelprop_hybrid(indptr, dst, w, iterations, cache_key, in_deg, n, e):
     (the old sort kernel: ~100s/iteration at that scale)."""
     jax, jnp = _jax()
     n_pad = _pad_pow2(n + 1)
-    cap = LP_DENSE_DMAX
+    weighted = w is not None
     staged = _GRAPH_DEV_CACHE.get(("lph", cache_key)) if cache_key else None
     if staged is None:
         dummy = n_pad - 1
-        from cozo_tpu.utils.graph_stage import stage_by_dst, gather_f32
+        from cozo_tpu.utils.graph_stage import gather_f32
 
         src_s, order, deg_pad = _dst_stage(indptr, dst, n_pad, cache_key)
         if w is None:
-            w_s = np.ones(e, dtype=np.float32)
+            w_s = None
         else:
             w_s = np.maximum(gather_f32(w, order), 0.0)
-        dst_s = np.repeat(
-            np.arange(n_pad, dtype=np.int64), deg_pad
-        )
+        # adaptive cap: the dense side must fit the HBM budget
+        # (nb [n_pad, dmax] int32, + as much again if weighted); degrees
+        # past the cap go to the exact host pass, so shrinking the cap
+        # trades device memory for host work, never correctness
+        import os as _os
+
+        budget = int(_os.environ.get("COZO_TPU_LP_DENSE_MAX", 4 << 30))
+        cap = LP_DENSE_DMAX
+        bytes_per_slot = 8 if weighted else 4
+        while cap > 8 and n_pad * cap * bytes_per_slot > budget:
+            cap //= 2
+        dst_s = np.repeat(np.arange(n_pad, dtype=np.int64), deg_pad)
         is_hub_node = deg_pad > cap  # [n_pad]
         hub_edge = is_hub_node[dst_s]
         # dense side: non-hub in-edges packed [n_pad, dmax]
         nh_dst = dst_s[~hub_edge]
         nh_src = src_s[~hub_edge]
-        nh_w = w_s[~hub_edge]
         dmax = int(
             1 << max(3, int(np.ceil(np.log2(max(
                 deg_pad[~is_hub_node].max(initial=1), 1)))))
@@ -1001,9 +1012,13 @@ def _labelprop_hybrid(indptr, dst, w, iterations, cache_key, in_deg, n, e):
         np.cumsum(np.where(is_hub_node, 0, deg_pad), out=starts[1:])
         pos = np.arange(len(nh_dst), dtype=np.int64) - starts[nh_dst]
         nb = np.full((n_pad, dmax), dummy, dtype=np.int32)
-        wq = np.zeros((n_pad, dmax), dtype=np.float32)
         nb[nh_dst, pos] = nh_src
-        wq[nh_dst, pos] = nh_w
+        if weighted:
+            wq = np.zeros((n_pad, dmax), dtype=np.float32)
+            wq[nh_dst, pos] = w_s[~hub_edge]
+            wq_d = jnp.asarray(wq)
+        else:
+            wq_d = None
         has_in = np.zeros(n_pad, dtype=bool)
         has_in[:n] = (deg_pad[:n] > 0) & ~is_hub_node[:n]
         # hub side: per-hub in-edge slices (dst-grouped already)
@@ -1013,25 +1028,30 @@ def _labelprop_hybrid(indptr, dst, w, iterations, cache_key, in_deg, n, e):
             np.arange(len(hub_nodes), dtype=np.int64),
             deg_pad[hub_nodes],
         )
-        h_w = w_s[hub_edge].astype(np.float64)
+        h_w = (
+            w_s[hub_edge].astype(np.float64)
+            if weighted
+            else np.ones(len(h_src), dtype=np.float64)
+        )
         blk = min(n_pad, 65536)
         staged = (
-            jnp.asarray(nb), jnp.asarray(wq), jnp.asarray(has_in),
+            jnp.asarray(nb), wq_d, jnp.asarray(has_in),
             hub_nodes, h_src, h_seg, h_w, dmax, blk,
         )
         if cache_key:
             _dev_cache_put(("lph", cache_key), staged)
     nb_d, wq_d, has_in_d, hub_nodes, h_src, h_seg, h_w, dmax, blk = staged
-    key = (n_pad, dmax, blk)
+    key = (n_pad, dmax, blk, weighted)
     step = _LP_STEP_CACHE.get(key)
     if step is None:
-        step = _labelprop_dense_step_compiled(n_pad, dmax, blk)
+        step = _labelprop_dense_step_compiled(n_pad, dmax, blk, weighted)
         _LP_STEP_CACHE[key] = step
     H = len(hub_nodes)
     labels = np.arange(n_pad, dtype=np.int32)
     for _ in range(iterations):
         picked = np.array(
-            step(nb_d, wq_d, has_in_d, np.int32(n), jnp.asarray(labels))
+            step(nb_d, wq_d if weighted else nb_d, has_in_d,
+                 np.int32(n), jnp.asarray(labels))
         )
         if H:
             # exact weighted mode per hub: segment-key bincount over
@@ -1058,46 +1078,56 @@ def _labelprop_dense(indptr, dst, w, iterations, cache_key, in_deg, n, e,
     n_pad = _pad_pow2(n + 1)
     dmax = int(1 << max(3, int(np.ceil(np.log2(max(in_deg.max(), 1))))))
     blk = min(n_pad, 65536)
+    weighted = w is not None
     staged = _GRAPH_DEV_CACHE.get(("lpd", cache_key)) if cache_key else None
     if staged is None:
         dummy = n_pad - 1
-        src = np.repeat(np.arange(n, dtype=np.int32), np.diff(indptr))
         if cap is not None and w is not None:
             # keep each dst's `cap` highest-weight in-edges
+            src = np.repeat(np.arange(n, dtype=np.int32), np.diff(indptr))
             order = np.lexsort(
                 (-np.asarray(w, dtype=np.float32), np.asarray(dst))
             )
+            src_s = src[order]
+            dst_s = np.asarray(dst)[order].astype(np.int64)
+            cnt = np.bincount(dst_s, minlength=n)
         else:
-            order = np.argsort(dst, kind="stable")
-        src_s = src[order]
-        dst_s = np.asarray(dst)[order].astype(np.int64)
+            # native counting-sort grouping (numpy argsort costs minutes
+            # single-core at 660M edges)
+            src_s, order, deg_pad = _dst_stage(indptr, dst, n_pad, cache_key)
+            cnt = deg_pad[:n]
+            dst_s = np.repeat(np.arange(n, dtype=np.int64), cnt)
         in_ptr = np.zeros(n + 1, dtype=np.int64)
-        cnt = np.bincount(dst_s, minlength=n)
         in_ptr[1:] = np.cumsum(cnt)
-        pos = np.arange(e, dtype=np.int64) - in_ptr[dst_s]
+        pos = np.arange(len(dst_s), dtype=np.int64) - in_ptr[dst_s]
         if cap is not None:
             keep = pos < cap
             src_s, dst_s, pos = src_s[keep], dst_s[keep], pos[keep]
             order = order[keep]
             cnt = np.minimum(cnt, cap)
         nb = np.full((n_pad, dmax), dummy, dtype=np.int32)
-        wq = np.zeros((n_pad, dmax), dtype=np.float32)
         nb[dst_s, pos] = src_s
-        if w is None:
-            wq[dst_s, pos] = 1.0
+        if weighted:
+            from cozo_tpu.utils.graph_stage import gather_f32
+
+            wq = np.zeros((n_pad, dmax), dtype=np.float32)
+            wq[dst_s, pos] = np.maximum(gather_f32(w, order), 0.0)
+            wq_d = jnp.asarray(wq)
         else:
-            wq[dst_s, pos] = np.maximum(
-                np.asarray(w, dtype=np.float32)[order], 0.0
-            )
+            # unit weights: the valid mask comes from nb itself — the
+            # [n_pad, dmax] f32 weight array alone would be 8.6GB at 10M
+            wq_d = None
         has_in = np.zeros(n_pad, dtype=bool)
         has_in[:n] = cnt > 0
-        staged = (jnp.asarray(nb), jnp.asarray(wq), jnp.asarray(has_in))
+        staged = (jnp.asarray(nb), wq_d, jnp.asarray(has_in))
         if cache_key:
             _dev_cache_put(("lpd", cache_key), staged)
-    key = (n_pad, dmax, iterations, blk)
+    key = (n_pad, dmax, iterations, blk, weighted)
     fn = _LP_DENSE_CACHE.get(key)
     if fn is None:
-        fn = _labelprop_dense_compiled(n_pad, dmax, iterations, blk)
+        fn = _labelprop_dense_compiled(n_pad, dmax, iterations, blk,
+                                       weighted)
         _LP_DENSE_CACHE[key] = fn
-    labels = fn(*staged, np.int32(n))
+    nb_d, wq_d, has_in_d = staged
+    labels = fn(nb_d, wq_d if weighted else nb_d, has_in_d, np.int32(n))
     return np.asarray(labels)[:n]

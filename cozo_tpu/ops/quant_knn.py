@@ -88,9 +88,15 @@ def _qsweep_fn(n_chunks: int, chunk: int, d_pad: int, kf: int, rt: float):
         alld = jnp.moveaxis(nds, 0, 1).reshape(B, n_chunks * w)
         alli = (jnp.moveaxis(nis, 0, 1) + offs).reshape(B, n_chunks * w)
         if n_chunks * w == kf:
-            return alli, alld
-        sc, sel = jax.lax.top_k(alld, kf)
-        return jnp.take_along_axis(alli, sel, axis=1), sc
+            ii, ss = alli, alld
+        else:
+            ss, sel = jax.lax.top_k(alld, kf)
+            ii = jnp.take_along_axis(alli, sel, axis=1)
+        # one packed pull (ids, score-bits): each device→host pull pays
+        # ~30ms fixed relay latency
+        return jnp.concatenate(
+            [ii.astype(jnp.int32),
+             jax.lax.bitcast_convert_type(ss, jnp.int32)], axis=1)
 
     _QSWEEP_FNS[key] = run
     return run
@@ -208,10 +214,11 @@ class QuantSweepTable:
             self.bias = jnp.where(
                 self.scales > 0, 0.0, -jnp.inf
             ).astype(jnp.float32)
-        ids, sc = fn(self.tbl, self.scales, self.bias,
-                     jnp.asarray(qp), jnp.asarray(qsc))
-        ids = np.asarray(ids, dtype=np.int64)
-        sc = np.asarray(sc)
+        packed = np.asarray(fn(self.tbl, self.scales, self.bias,
+                               jnp.asarray(qp), jnp.asarray(qsc)))
+        kk = packed.shape[1] // 2
+        ids = packed[:, :kk].astype(np.int64)
+        sc = np.ascontiguousarray(packed[:, kk:]).view(np.float32)
         bad = (ids < 0) | (ids >= self.n) | ~np.isfinite(sc)
         return np.where(bad, -1, ids), sc
 
