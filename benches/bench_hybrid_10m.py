@@ -223,12 +223,16 @@ def main():
     # community detection on the proximity graph
     if over_deadline("community_labelprop"):
         return
-    # degree_cap: hub in-neighborhoods sampled at 128 so the dense device
-    # kernel applies (exact for ~99.9% of proximity-graph nodes; the sort
-    # kernel would pay ~100s/iteration in TPU bitonic sorts at 660M edges)
+    # <=2M nodes: EXACT labels via the hybrid kernel (dense device pick +
+    # exact host mode for hub nodes).  Past that the dense neighbor array
+    # at full degree would blow HBM next to the int8 serving table, so
+    # hubs sample their 64 first-in-order in-edges (degree_cap — a
+    # documented approximation; ~70-85% of proximity-graph nodes are
+    # below the cap and stay exact).
+    cap_opt = "" if n <= 2_000_000 else ", degree_cap: 64"
     lp_script = (
         "?[l, n] <~ LabelPropagation(*item:ix{layer: 0, fr_id, to_id}, "
-        "undirected: true, degree_cap: 128)\n:limit 10"
+        f"undirected: true{cap_opt})\n:limit 10"
     )
     t0 = time.time()
     db.run_script(lp_script)

@@ -494,6 +494,7 @@ def _sssp_pack_fn(e_pad: int, n_pad: int, layout):
     @jax.jit
     def pack(s_sorted, w_sorted, rs_flat, rl_flat):
         outs_s, outs_w = [], []
+        const_w = w_sorted.ndim == 0  # uniform weights: scalar, no upload
         for off, cap, rows_p in layout:
             rs = jax.lax.slice(rs_flat, (off,), (off + rows_p,))
             rl = jax.lax.slice(rl_flat, (off,), (off + rows_p,))
@@ -503,9 +504,8 @@ def _sssp_pack_fn(e_pad: int, n_pad: int, layout):
             outs_s.append(
                 jnp.where(valid, s_sorted[idx], n_pad - 1).reshape(-1)
             )
-            outs_w.append(
-                jnp.where(valid, w_sorted[idx], jnp.inf).reshape(-1)
-            )
+            wv = w_sorted if const_w else w_sorted[idx]
+            outs_w.append(jnp.where(valid, wv, jnp.inf).reshape(-1))
         return jnp.concatenate(outs_s), jnp.concatenate(outs_w)
 
     return pack
@@ -602,15 +602,22 @@ def sssp_device(indptr, dst, w, sources, max_iters: int = 512, cache_key=None):
 
             s_sorted = np.full(e_pad, n_pad - 1, dtype=np.int32)
             s_sorted[:e] = src_e
-            w_sorted = np.full(e_pad, np.inf, dtype=np.float32)
-            w_sorted[:e] = gather_f32(w, order)
+            w_np = np.asarray(w, dtype=np.float32)
+            if e > 0 and np.all(w_np == w_np.flat[0]):
+                # uniform weights (unweighted Dijkstra/BFS shapes): ship
+                # one scalar instead of a 4B/edge array over the relay
+                w_dev = jnp.float32(w_np.flat[0])
+            else:
+                w_sorted = np.full(e_pad, np.inf, dtype=np.float32)
+                w_sorted[:e] = gather_f32(w, order)
+                w_dev = jnp.asarray(w_sorted)
             pk = (e_pad, n_pad, layout)
             pack = _SSSP_PACK_CACHE.get(pk)
             if pack is None:
                 pack = _sssp_pack_fn(e_pad, n_pad, layout)
                 _SSSP_PACK_CACHE[pk] = pack
             flat_src, flat_w = pack(
-                jnp.asarray(s_sorted), jnp.asarray(w_sorted),
+                jnp.asarray(s_sorted), w_dev,
                 jnp.asarray(rs_flat), jnp.asarray(rl_flat),
             )
             flat_src.block_until_ready()

@@ -224,11 +224,17 @@ class QuantSweepTable:
 
 
 def quant_search(vectors: np.ndarray, table: QuantSweepTable, qs: np.ndarray,
-                 k: int, overfetch: int = 8, rt: float = 0.95):
+                 k: int, overfetch: int = 4, rt: float = 0.95):
     """End-to-end: int8 device scan over-fetching overfetch*k candidates,
     exact f32 re-rank on the host against `vectors` (the full-precision
     rows, host-resident).  Returns (ids [B, k], dists [B, k]) with the
-    index's distance semantics (cosine distance / negative IP)."""
+    index's distance semantics (cosine/L2 distance / negative IP).
+
+    overfetch default 4: measured recall@10 is flat from overfetch 2-8
+    (0.9814 at 10M x 768 — the int8 rank order is already near-exact and
+    the residual gap is row quantization, which no overfetch recovers),
+    while the HOST side of the rerank (a [B, kf, d] gather + einsum on a
+    single core) scales linearly with kf."""
     kf = min(max(k * overfetch, k), table.chunk)
     ids, _ = table.search_candidates(qs, kf, rt)
     B = qs.shape[0]

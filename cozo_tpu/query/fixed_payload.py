@@ -302,6 +302,40 @@ class FixedInput:
     def as_directed_weighted_graph(
         self, undirected: bool = False, allow_negative: bool = False
     ):
+        # 2-column inputs carry no weight column: delegate to the
+        # unweighted stager, which has the vectorized HNSW-layer0 /
+        # int-pair fast paths AND the per-(relation, version) CSR cache —
+        # LabelPropagation over a 16M-edge proximity graph otherwise
+        # pays ~90s of per-row decode + cmp_key interning PER CALL
+        try:
+            ar = self.arity()
+        except Exception:
+            ar = None
+        if ar == 2:
+            indptr, dst, verts = self.as_directed_graph(undirected)
+            return indptr, dst, np.ones(len(dst), dtype=np.float64), verts
+        db = getattr(self.ctx, "db", None)
+        ck = None
+        if (
+            db is not None
+            and isinstance(self.arg, FixedRuleRelArg)
+            and self.arg.validity is None
+        ):
+            ver = db._rel_versions.get(self.arg.name, 0)
+            ck = (self.arg.name, ver, undirected, allow_negative, "csrw")
+            got = db._csr_cache.get(ck)
+            if got is not None:
+                return got
+        out = self._as_directed_weighted_graph_impl(undirected, allow_negative)
+        if ck is not None:
+            if len(db._csr_cache) >= 2:
+                db._csr_cache.pop(next(iter(db._csr_cache)))
+            db._csr_cache[ck] = out
+        return out
+
+    def _as_directed_weighted_graph_impl(
+        self, undirected: bool = False, allow_negative: bool = False
+    ):
         rows = self.rows()
         verts: Dict[tuple, int] = {}
         vert_vals: List[Any] = []
