@@ -134,6 +134,43 @@ def graph_content_key(indptr, dst) -> str:
     return h.hexdigest()
 
 
+def _edge_data_key(cache_key, w):
+    """Extend a topology content key with a fingerprint of the edge-weight
+    array.  `graph_content_key` hashes indptr+dst only, but the staged
+    device images (SSSP flat_w, LP dense weight slabs) bake the weights
+    in — same-topology-different-weights calls must not share them."""
+    if cache_key is None:
+        return None
+    if w is None:
+        return (cache_key, "unw")
+    import hashlib
+
+    w_np = np.ascontiguousarray(np.asarray(w, dtype=np.float32))
+    h = hashlib.blake2b(digest_size=8)
+    h.update(w_np)
+    return (cache_key, h.hexdigest())
+
+
+def _graph_disk_dir():
+    """On-disk cache for packed graph images (the ELL bucketing is a
+    cacheable artifact of the graph — VERDICT r3 next #5).  Lives next to
+    .jax_cache; COZO_TPU_GRAPH_CACHE overrides, empty string disables."""
+    import os as _os
+
+    d = _os.environ.get("COZO_TPU_GRAPH_CACHE")
+    if d == "":
+        return None
+    if d is None:
+        d = _os.path.join(
+            _os.path.dirname(_os.path.dirname(_os.path.dirname(
+                _os.path.abspath(__file__)))), ".graph_cache")
+    try:
+        _os.makedirs(d, exist_ok=True)
+        return d
+    except OSError:
+        return None
+
+
 def _dev_cache_put(key, value):
     if len(_GRAPH_DEV_CACHE) >= _GRAPH_DEV_CACHE_MAX:
         _GRAPH_DEV_CACHE.pop(next(iter(_GRAPH_DEV_CACHE)))
@@ -585,56 +622,129 @@ def sssp_device(indptr, dst, w, sources, max_iters: int = 512, cache_key=None):
 
         log = _os.environ.get("COZO_TPU_SSSP_LOG") == "1"
         t0 = _time.time()
-        staged = _GRAPH_DEV_CACHE.get(("sssp4", cache_key)) if cache_key else None
+        w_np = np.asarray(w, dtype=np.float32)
+        uniform = e > 0 and bool(np.all(w_np == w_np.flat[0]))
+        # weights are baked into the staged image — key them in
+        # (graph_content_key covers topology only)
+        dk = (
+            (cache_key, f"u{w_np.flat[0]!r}")
+            if uniform
+            else _edge_data_key(cache_key, w_np)
+        ) if cache_key else None
+        staged = _GRAPH_DEV_CACHE.get(("sssp4", dk)) if dk else None
         if staged is None:
-            gran = max(_ELL_LANE, _pad_pow2(max(e, 1)) // 16)
-            e_pad = ((max(e, 1) + gran - 1) // gran) * gran
-            # one native counting-sort pass (utils/graph_stage.py) yields
-            # the dst-grouped sources, the permutation, and the in-degree
-            # histogram; shared with PageRank via _HOST_STAGE_CACHE
-            src_e, order, deg = _dst_stage(indptr, dst, n_pad, cache_key)
-            (
-                layout, p_layout, rs_flat, rl_flat, nd_flat, R_pad,
-                l2_host, node_pos_h,
-            ) = _stage_sssp_ell_meta(deg, n_pad, e_pad)
-            t_meta = _time.time()
-            from cozo_tpu.utils.graph_stage import gather_f32
-
-            s_sorted = np.full(e_pad, n_pad - 1, dtype=np.int32)
-            s_sorted[:e] = src_e
-            w_np = np.asarray(w, dtype=np.float32)
-            if e > 0 and np.all(w_np == w_np.flat[0]):
-                # uniform weights (unweighted Dijkstra/BFS shapes): ship
-                # one scalar instead of a 4B/edge array over the relay
-                w_dev = jnp.float32(w_np.flat[0])
-            else:
-                w_sorted = np.full(e_pad, np.inf, dtype=np.float32)
-                w_sorted[:e] = gather_f32(w, order)
-                w_dev = jnp.asarray(w_sorted)
-            pk = (e_pad, n_pad, layout)
-            pack = _SSSP_PACK_CACHE.get(pk)
-            if pack is None:
-                pack = _sssp_pack_fn(e_pad, n_pad, layout)
-                _SSSP_PACK_CACHE[pk] = pack
-            flat_src, flat_w = pack(
-                jnp.asarray(s_sorted), w_dev,
-                jnp.asarray(rs_flat), jnp.asarray(rl_flat),
-            )
-            flat_src.block_until_ready()
-            staged = (
-                flat_src, flat_w, jnp.asarray(nd_flat),
-                tuple(jnp.asarray(rp) for rp in l2_host),
-                jnp.asarray(node_pos_h), p_layout, R_pad,
-            )
-            if cache_key:
-                _dev_cache_put(("sssp4", cache_key), staged)
-            if log:
-                print(
-                    f"# sssp-ell meta {t_meta - t0:.1f}s "
-                    f"pack {_time.time() - t_meta:.1f}s "
-                    f"layout {p_layout}",
-                    flush=True,
+            disk = _graph_disk_dir() if cache_key else None
+            fpath = None
+            if disk and dk:
+                wtag = "uni" if uniform else dk[1]
+                fpath = _os.path.join(
+                    disk, f"sssp1_{cache_key}_{n_pad}_{wtag}.npz")
+            loaded = None
+            if fpath and _os.path.exists(fpath):
+                try:
+                    loaded = np.load(fpath)
+                except Exception:
+                    loaded = None
+            if loaded is not None:
+                # packed image straight from disk: skips the dst-sort,
+                # the ELL bucketing, and the device pack pass entirely
+                p_layout = tuple(
+                    tuple(int(x) for x in row) for row in loaded["p_layout"]
                 )
+                R_pad = int(loaded["R_pad"])
+                flat_src = jnp.asarray(loaded["flat_src"])
+                if uniform:
+                    flat_w = jnp.where(
+                        flat_src == n_pad - 1, jnp.inf,
+                        jnp.float32(w_np.flat[0]),
+                    )
+                else:
+                    flat_w = jnp.asarray(loaded["flat_w"])
+                staged = (
+                    flat_src, flat_w, jnp.asarray(loaded["nd_flat"]),
+                    tuple(
+                        jnp.asarray(loaded[f"l2_{i}"])
+                        for i in range(int(loaded["n_l2"]))
+                    ),
+                    jnp.asarray(loaded["node_pos"]), p_layout, R_pad,
+                )
+                if log:
+                    print(
+                        f"# sssp-ell disk-cached image "
+                        f"{_time.time() - t0:.1f}s",
+                        flush=True,
+                    )
+            else:
+                gran = max(_ELL_LANE, _pad_pow2(max(e, 1)) // 16)
+                e_pad = ((max(e, 1) + gran - 1) // gran) * gran
+                # one native counting-sort pass (utils/graph_stage.py)
+                # yields the dst-grouped sources, the permutation, and the
+                # in-degree histogram; shared with PageRank via
+                # _HOST_STAGE_CACHE
+                src_e, order, deg = _dst_stage(indptr, dst, n_pad, cache_key)
+                (
+                    layout, p_layout, rs_flat, rl_flat, nd_flat, R_pad,
+                    l2_host, node_pos_h,
+                ) = _stage_sssp_ell_meta(deg, n_pad, e_pad)
+                t_meta = _time.time()
+                from cozo_tpu.utils.graph_stage import gather_f32
+
+                s_sorted = np.full(e_pad, n_pad - 1, dtype=np.int32)
+                s_sorted[:e] = src_e
+                if uniform:
+                    # uniform weights (unweighted Dijkstra/BFS shapes):
+                    # ship one scalar instead of a 4B/edge relay upload
+                    w_dev = jnp.float32(w_np.flat[0])
+                else:
+                    w_sorted = np.full(e_pad, np.inf, dtype=np.float32)
+                    w_sorted[:e] = gather_f32(w_np, order)
+                    w_dev = jnp.asarray(w_sorted)
+                pk = (e_pad, n_pad, layout)
+                pack = _SSSP_PACK_CACHE.get(pk)
+                if pack is None:
+                    pack = _sssp_pack_fn(e_pad, n_pad, layout)
+                    _SSSP_PACK_CACHE[pk] = pack
+                flat_src, flat_w = pack(
+                    jnp.asarray(s_sorted), w_dev,
+                    jnp.asarray(rs_flat), jnp.asarray(rl_flat),
+                )
+                flat_src.block_until_ready()
+                staged = (
+                    flat_src, flat_w, jnp.asarray(nd_flat),
+                    tuple(jnp.asarray(rp) for rp in l2_host),
+                    jnp.asarray(node_pos_h), p_layout, R_pad,
+                )
+                if log:
+                    print(
+                        f"# sssp-ell meta {t_meta - t0:.1f}s "
+                        f"pack {_time.time() - t_meta:.1f}s "
+                        f"layout {p_layout}",
+                        flush=True,
+                    )
+                if fpath:
+                    try:
+                        save = {
+                            "flat_src": np.asarray(flat_src),
+                            "nd_flat": nd_flat,
+                            "node_pos": node_pos_h,
+                            "p_layout": np.asarray(p_layout, dtype=np.int64),
+                            "R_pad": np.int64(R_pad),
+                            "n_l2": np.int64(len(l2_host)),
+                        }
+                        for i, rp in enumerate(l2_host):
+                            save[f"l2_{i}"] = rp
+                        if not uniform:
+                            save["flat_w"] = np.asarray(flat_w)
+                        tmp = fpath + ".tmp"
+                        np.savez(tmp, **save)
+                        _os.replace(tmp + ".npz", fpath)
+                        if log:
+                            print("# sssp-ell image saved to disk cache",
+                                  flush=True)
+                    except Exception:
+                        pass
+            if dk:
+                _dev_cache_put(("sssp4", dk), staged)
         flat_src, flat_w, nd_dev, l2, node_pos, p_layout, R_pad = staged
         S = len(sources)
         dist0 = np.full((S, n_pad), np.inf, dtype=np.float32)
@@ -672,6 +782,7 @@ def sssp_device(indptr, dst, w, sources, max_iters: int = 512, cache_key=None):
         e_pad = ((max(e, 1) + gran - 1) // gran) * gran
     use_scan = _sssp_use_scan(e_pad)
     tag = "sssp2" if use_scan else "sssp"
+    cache_key = _edge_data_key(cache_key, w)  # staged image bakes w in
     staged = _GRAPH_DEV_CACHE.get((tag, cache_key)) if cache_key else None
     if staged is None:
         dummy = n_pad - 1
@@ -844,7 +955,8 @@ def labelprop_jax(indptr, dst, w=None, iterations=10, cache_key=None,
     n_pad = _pad_pow2(n + 1)
     gran = max(_PR_CHUNK, _pad_pow2(max(e, 1)) // 16)
     e_pad = ((max(e, 1) + gran - 1) // gran) * gran
-    staged = _GRAPH_DEV_CACHE.get(("lp", cache_key)) if cache_key else None
+    dk = _edge_data_key(cache_key, w)  # staged image bakes w in
+    staged = _GRAPH_DEV_CACHE.get(("lp", dk)) if dk else None
     if staged is None:
         dummy = n_pad - 1
         src = np.repeat(np.arange(n, dtype=np.int32), np.diff(indptr))
@@ -872,8 +984,8 @@ def labelprop_jax(indptr, dst, w=None, iterations=10, cache_key=None,
             jnp.asarray(end_pos),
             jnp.asarray(has_in),
         )
-        if cache_key:
-            _dev_cache_put(("lp", cache_key), staged)
+        if dk:
+            _dev_cache_put(("lp", dk), staged)
     key = (n_pad, e_pad, iterations)
     fn = _LP_CACHE.get(key)
     if fn is None:
@@ -984,7 +1096,8 @@ def _labelprop_hybrid(indptr, dst, w, iterations, cache_key, in_deg, n, e):
     jax, jnp = _jax()
     n_pad = _pad_pow2(n + 1)
     weighted = w is not None
-    staged = _GRAPH_DEV_CACHE.get(("lph", cache_key)) if cache_key else None
+    dk = _edge_data_key(cache_key, w)  # staged image bakes w in
+    staged = _GRAPH_DEV_CACHE.get(("lph", dk)) if dk else None
     if staged is None:
         dummy = n_pad - 1
         from cozo_tpu.utils.graph_stage import gather_f32
@@ -1046,7 +1159,7 @@ def _labelprop_hybrid(indptr, dst, w, iterations, cache_key, in_deg, n, e):
             hub_nodes, h_src, h_seg, h_w, dmax, blk,
         )
         if cache_key:
-            _dev_cache_put(("lph", cache_key), staged)
+            _dev_cache_put(("lph", dk), staged)
     nb_d, wq_d, has_in_d, hub_nodes, h_src, h_seg, h_w, dmax, blk = staged
     key = (n_pad, dmax, blk, weighted)
     step = _LP_STEP_CACHE.get(key)
@@ -1086,7 +1199,8 @@ def _labelprop_dense(indptr, dst, w, iterations, cache_key, in_deg, n, e,
     dmax = int(1 << max(3, int(np.ceil(np.log2(max(in_deg.max(), 1))))))
     blk = min(n_pad, 65536)
     weighted = w is not None
-    staged = _GRAPH_DEV_CACHE.get(("lpd", cache_key)) if cache_key else None
+    dk = _edge_data_key(cache_key, w)  # staged image bakes w in
+    staged = _GRAPH_DEV_CACHE.get(("lpd", dk)) if dk else None
     if staged is None:
         dummy = n_pad - 1
         if cap is not None and w is not None:
@@ -1127,8 +1241,8 @@ def _labelprop_dense(indptr, dst, w, iterations, cache_key, in_deg, n, e,
         has_in = np.zeros(n_pad, dtype=bool)
         has_in[:n] = cnt > 0
         staged = (jnp.asarray(nb), wq_d, jnp.asarray(has_in))
-        if cache_key:
-            _dev_cache_put(("lpd", cache_key), staged)
+        if dk:
+            _dev_cache_put(("lpd", dk), staged)
     key = (n_pad, dmax, iterations, blk, weighted)
     fn = _LP_DENSE_CACHE.get(key)
     if fn is None:
