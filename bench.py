@@ -146,7 +146,11 @@ def main():
     # variance is real — VERDICT r2 weak #9): value = mean, and the
     # JSON reports qps_min / qps_median across reps.
     curve = []
-    for rt, rerank, tag in ((0.99, True, "bf16+rerank"), (0.99, False, "bf16-raw")):
+    # headline at rt=0.98, the serving default: measured 0.9991 recall
+    # with the exact f32 re-rank (>=0.999) at ~1.2x the rt=0.99 QPS
+    # (BENCH_NOTES round 4: the residual miss probability is covered by
+    # the overfetch+rerank lane, not the raw bin recall)
+    for rt, rerank, tag in ((0.98, True, "bf16+rerank"), (0.99, False, "bf16-raw")):
         ids, _ = sweep_search(index, qs, K, rt=rt, exact_rerank=rerank)  # warm
         reps = 5
         per_rep = []
