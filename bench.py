@@ -99,12 +99,21 @@ def _await_device(seconds: float):
     log(f"device: {devs}")
 
 
+def _jax_cache_entries():
+    d = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        return sum(1 for _ in os.scandir(d))
+    except OSError:
+        return 0
+
+
 def main():
     from cozo_tpu.models.hnsw_index import HnswIndex
     from cozo_tpu.ops.exact_knn import sweep_search
     from cozo_tpu.utils.datasets import glove_like
 
     _await_device(float(os.environ.get("COZO_BENCH_DEVICE_WAIT", 900)))
+    cache0 = _jax_cache_entries()
 
     t0 = time.time()
     data = glove_like(N + NQ, D, seed=42)
@@ -188,6 +197,13 @@ def main():
                     (1 - t) * math.log(lo["qps"]) + t * math.log(hi["qps"])
                 )
         return pts[-1]["qps"]
+
+    # compile-cache visibility (VERDICT r2 next #9): a fresh checkout
+    # should start warm from the committed .jax_cache; new entries here
+    # mean a shape missed it (cold compiles silently deflate QPS)
+    new_entries = _jax_cache_entries() - cache0
+    log(f"jax compile cache: {cache0} entries at start, "
+        f"{new_entries} new (0 new = fully warm)")
 
     tag, qps, rec, reps1 = curve[0]  # headline: exact-rerank high-recall
     tag2, qps2, rec2, reps2 = curve[1]  # secondary: raw-bf16 mid-recall

@@ -193,9 +193,19 @@ def main():
             idx.vectors[: idx.n], "Cosine", alive=idx.alive[: idx.n]
         )
     NEVAL = min(512, NQ)
-    gt_ids, _ = quant_search(
-        idx.vectors, qt, qs[:NEVAL], K, overfetch=4096 // K, rt=1.0
-    )
+    # rt=1.0 keeps every chunk's raw scores for one exact end-merge, so
+    # the slab is [n_pad, B] f32 — at 10M rows a 512-query batch is
+    # 20.6 GB and OOMs a 16 GB HBM next to the int8 table.  Sub-batch
+    # the GT queries so each slab stays ~2.6 GB.
+    GB = 64
+    gt_parts = []
+    for g0 in range(0, NEVAL, GB):
+        part, _ = quant_search(
+            idx.vectors, qt, qs[g0 : g0 + GB], K, overfetch=4096 // K,
+            rt=1.0,
+        )
+        gt_parts.append(part)
+    gt_ids = np.concatenate(gt_parts, axis=0)
     hits = 0
     for i in range(NEVAL):
         hits += len(set(got.get(i, [])) & set(gt_ids[i].tolist()))
