@@ -297,6 +297,14 @@ class SweepTable:
             and _os.environ.get("COZO_TPU_Q_F16", "1") == "1"
             else np.float32
         )
+        if qdt == np.float16 and index.distance != "Cosine":
+            # f16 overflows to inf past 65504 and every score in the
+            # affected row goes inf/NaN -> the bad-filter returns all -1.
+            # Cosine queries are normalized below; L2/IP must check the
+            # raw magnitudes and keep f32 for out-of-range batches.
+            amax = float(np.max(np.abs(q))) if q.size else 0.0
+            if not (amax < 6.0e4):  # also catches nan/inf inputs
+                qdt = np.float32
         # unpadded upload: send [B, d], zero-pad to d_pad on device
         qp = np.empty((B, d), dtype=qdt)
         if index.distance == "Cosine":

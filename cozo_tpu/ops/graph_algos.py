@@ -134,6 +134,41 @@ def graph_content_key(indptr, dst) -> str:
     return h.hexdigest()
 
 
+_W_FP_CACHE = {}  # id(w) → (weakref(w), f32 copy, digest, uniform_scalar)
+
+
+def _w_fingerprint(w):
+    """(f32 view/copy, blake2b digest, uniform-scalar-or-None) of an edge
+    weight array, memoized by object identity.  The CSR cache in
+    query/fixed_payload.py returns the SAME ndarray object across calls,
+    so repeated SSSP/LP on a big graph would otherwise repay a full-array
+    copy + hash + uniformity scan per call.  The weakref guards id()
+    reuse after the original array is freed."""
+    import hashlib
+    import weakref
+
+    hit = _W_FP_CACHE.get(id(w))
+    if hit is not None and hit[0]() is w:
+        return hit[1], hit[2], hit[3]
+    w_np = np.ascontiguousarray(np.asarray(w, dtype=np.float32))
+    h = hashlib.blake2b(digest_size=8)
+    h.update(w_np)
+    digest = h.hexdigest()
+    uniform = (
+        float(w_np.flat[0])
+        if w_np.size and bool(np.all(w_np == w_np.flat[0]))
+        else None
+    )
+    try:
+        ref = weakref.ref(w)
+    except TypeError:  # plain lists etc.
+        ref = lambda: w  # noqa: E731
+    if len(_W_FP_CACHE) > 16:
+        _W_FP_CACHE.clear()
+    _W_FP_CACHE[id(w)] = (ref, w_np, digest, uniform)
+    return w_np, digest, uniform
+
+
 def _edge_data_key(cache_key, w):
     """Extend a topology content key with a fingerprint of the edge-weight
     array.  `graph_content_key` hashes indptr+dst only, but the staged
@@ -143,12 +178,8 @@ def _edge_data_key(cache_key, w):
         return None
     if w is None:
         return (cache_key, "unw")
-    import hashlib
-
-    w_np = np.ascontiguousarray(np.asarray(w, dtype=np.float32))
-    h = hashlib.blake2b(digest_size=8)
-    h.update(w_np)
-    return (cache_key, h.hexdigest())
+    _, digest, _ = _w_fingerprint(w)
+    return (cache_key, digest)
 
 
 def _graph_disk_dir():
@@ -169,6 +200,40 @@ def _graph_disk_dir():
         return d
     except OSError:
         return None
+
+
+def _prune_graph_disk_cache(d):
+    """Bound the on-disk image cache: unlike the in-memory caches
+    (capped at _GRAPH_DEV_CACHE_MAX) each distinct (topology, weights)
+    pair persists a multi-hundred-MB npz forever.  Evict oldest-mtime
+    images past COZO_TPU_GRAPH_CACHE_MAX_GB (default 16) and sweep
+    orphaned *.tmp.npz from interrupted saves."""
+    import os as _os
+    import time as _time
+
+    try:
+        cap = float(
+            _os.environ.get("COZO_TPU_GRAPH_CACHE_MAX_GB", 16)
+        ) * 1e9
+        entries = []
+        now = _time.time()
+        for de in _os.scandir(d):
+            if de.name.endswith(".tmp.npz"):
+                if now - de.stat().st_mtime > 3600:
+                    _os.unlink(de.path)
+                continue
+            if de.name.endswith(".npz"):
+                st = de.stat()
+                entries.append((st.st_mtime, st.st_size, de.path))
+        total = sum(s for _, s, _ in entries)
+        # never evict the newest image — it's the one just written
+        for mt, sz, path in sorted(entries)[:-1]:
+            if total <= cap:
+                break
+            _os.unlink(path)
+            total -= sz
+    except OSError:
+        pass
 
 
 def _dev_cache_put(key, value):
@@ -622,14 +687,14 @@ def sssp_device(indptr, dst, w, sources, max_iters: int = 512, cache_key=None):
 
         log = _os.environ.get("COZO_TPU_SSSP_LOG") == "1"
         t0 = _time.time()
-        w_np = np.asarray(w, dtype=np.float32)
-        uniform = e > 0 and bool(np.all(w_np == w_np.flat[0]))
+        w_np, w_digest, w_uni = _w_fingerprint(w)
+        uniform = e > 0 and w_uni is not None
         # weights are baked into the staged image — key them in
         # (graph_content_key covers topology only)
         dk = (
-            (cache_key, f"u{w_np.flat[0]!r}")
+            (cache_key, f"u{w_uni!r}")
             if uniform
-            else _edge_data_key(cache_key, w_np)
+            else (cache_key, w_digest)
         ) if cache_key else None
         staged = _GRAPH_DEV_CACHE.get(("sssp4", dk)) if dk else None
         if staged is None:
@@ -738,6 +803,7 @@ def sssp_device(indptr, dst, w, sources, max_iters: int = 512, cache_key=None):
                         tmp = fpath + ".tmp"
                         np.savez(tmp, **save)
                         _os.replace(tmp + ".npz", fpath)
+                        _prune_graph_disk_cache(_os.path.dirname(fpath))
                         if log:
                             print("# sssp-ell image saved to disk cache",
                                   flush=True)

@@ -52,7 +52,11 @@ def _sort_value_order(rows: list) -> list:
             col = [r[c] for r in rows]
             t0 = type(col[0])
             if t0 is int and all(type(v) is int for v in col):
-                cols.append(np.asarray(col, np.int64))
+                try:  # out-of-i64 ints (e.g. $param = 2**70) can't ride
+                    cols.append(np.asarray(col, np.int64))
+                except OverflowError:
+                    ok = False
+                    break
             elif t0 is float and all(type(v) is float for v in col):
                 a = np.asarray(col, np.float64)
                 # NaN/-0.0 order differs from IEEE total order: fall back
