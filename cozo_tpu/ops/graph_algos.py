@@ -1160,6 +1160,11 @@ def _labelprop_hybrid(indptr, dst, w, iterations, cache_key, in_deg, n, e):
     while the device never pays a 50M-element bitonic sort
     (the old sort kernel: ~100s/iteration at that scale)."""
     jax, jnp = _jax()
+    import os as _os2
+    import time as _time
+
+    lp_log = _os2.environ.get("COZO_TPU_LP_LOG") == "1"
+    t0 = _time.time()
     n_pad = _pad_pow2(n + 1)
     weighted = w is not None
     dk = _edge_data_key(cache_key, w)  # staged image bakes w in
@@ -1169,6 +1174,9 @@ def _labelprop_hybrid(indptr, dst, w, iterations, cache_key, in_deg, n, e):
         from cozo_tpu.utils.graph_stage import gather_f32
 
         src_s, order, deg_pad = _dst_stage(indptr, dst, n_pad, cache_key)
+        if lp_log:
+            print(f"# lp-hybrid dst_stage {_time.time() - t0:.1f}s",
+                  flush=True)
         if w is None:
             w_s = None
         else:
@@ -1226,6 +1234,12 @@ def _labelprop_hybrid(indptr, dst, w, iterations, cache_key, in_deg, n, e):
         )
         if cache_key:
             _dev_cache_put(("lph", dk), staged)
+        if lp_log:
+            print(
+                f"# lp-hybrid staged {_time.time() - t0:.1f}s "
+                f"dmax {dmax} hubs {len(hub_nodes)}",
+                flush=True,
+            )
     nb_d, wq_d, has_in_d, hub_nodes, h_src, h_seg, h_w, dmax, blk = staged
     key = (n_pad, dmax, blk, weighted)
     step = _LP_STEP_CACHE.get(key)
@@ -1255,6 +1269,9 @@ def _labelprop_hybrid(indptr, dst, w, iterations, cache_key, in_deg, n, e):
             first[1:] = seg_sorted[1:] != seg_sorted[:-1]
             picked[hub_nodes[seg_sorted[first]]] = u_lab[sel[first]]
         labels = picked
+        if lp_log:
+            print(f"# lp-hybrid iter {_time.time() - t0:.1f}s cumulative",
+                  flush=True)
     return labels[:n]
 
 
