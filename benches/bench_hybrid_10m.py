@@ -45,6 +45,8 @@ def emit(phase, seconds, **kw):
     rec = {"phase": phase, "seconds": round(seconds, 2),
            "peak_rss_mb": rss, **kw}
     PHASES.append(rec)
+    if phase == "done":
+        META["status"] = "done"
     print(json.dumps(rec), flush=True)
     if OUT_PATH:  # incremental: a killed run keeps its finished phases
         with open(OUT_PATH, "w") as f:
@@ -81,7 +83,7 @@ def main():
     global OUT_PATH
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
     OUT_PATH = sys.argv[2] if len(sys.argv) > 2 else None
-    META.update({"n": n, "dim": D})
+    META.update({"n": n, "dim": D, "status": "INCOMPLETE"})
     # internal deadline: exit CLEANLY past the budget instead of being
     # timeout-killed mid-TPU-call (a SIGKILLed axon client wedges the
     # device lease for a long time — learned the hard way)
@@ -174,45 +176,56 @@ def main():
     emit("vector_pivot_join", el, queries=NQ, rows=len(out.rows),
          qps=round(NQ / el))
 
-    # recall vs exhaustive int8 scan + exact f32 re-rank (high-overfetch)
-    t0 = time.time()
-    got = {}
-    for r in out.rows:
-        got.setdefault(r[0], []).append(r[1])
+    # ops-layer search timing (same queries, straight through
+    # HnswIndex.search): separates kernel cost from engine-step cost in
+    # the artifact itself — the r4 join collapse (318 QPS) was
+    # unattributable without it
     from cozo_tpu.runtime.hnsw import get_hnsw_cache
 
     tx = db._new_session(False, 0)
     base = tx.get_relation("item")
     cache = get_hnsw_cache(db, tx, base, "ix", base.indices["ix"])
     idx = cache.index
-    from cozo_tpu.ops.quant_knn import QuantSweepTable, quant_search
+    t0 = time.time()
+    idx.search(qs, K, 64)
+    el = time.time() - t0
+    emit("vector_search_ops_layer", el, queries=NQ, qps=round(NQ / el))
+    tx.abort()
 
-    qt = idx._quant_sweep
-    if qt is None:
-        qt = QuantSweepTable().load(
-            idx.vectors[: idx.n], "Cosine", alive=idx.alive[: idx.n]
-        )
+    # recall vs exact f32 ground truth (host-computed, cached on disk
+    # next to the dataset — benches/gt_host.py.  The r4 device GT lane
+    # kept a [n_pad, B] f32 slab next to the 7.7GB int8 table and OOMed
+    # HBM; GT is a per-dataset artifact, not per-run work.)
+    t0 = time.time()
+    got = {}
+    for r in out.rows:
+        got.setdefault(r[0], []).append(r[1])
     NEVAL = min(512, NQ)
-    # rt=1.0 keeps every chunk's raw scores for one exact end-merge, so
-    # the slab is [n_pad, B] f32 — at 10M rows a 512-query batch is
-    # 20.6 GB and OOMs a 16 GB HBM next to the int8 table.  Sub-batch
-    # the GT queries so each slab stays ~2.6 GB.
-    GB = 64
-    gt_parts = []
-    for g0 in range(0, NEVAL, GB):
-        part, _ = quant_search(
-            idx.vectors, qt, qs[g0 : g0 + GB], K, overfetch=4096 // K,
-            rt=1.0,
+    from benches.gt_host import compute_gt, gt_path
+
+    if not cache_path:
+        raise SystemExit(
+            "recall_eval needs COZO_BENCH_DATA_CACHE (exact GT is "
+            "computed against the on-disk dataset; see benches/gt_host.py)"
         )
-        gt_parts.append(part)
-    gt_ids = np.concatenate(gt_parts, axis=0)
+    gp = gt_path(cache_path, n, K, NEVAL)
+    if os.path.exists(gp):
+        gt_ids = np.load(gp)["ids"]
+        gt_src = "disk"
+    else:
+        gt_ids = compute_gt(
+            np.load(cache_path, mmap_mode="r"), n, qs[:NEVAL], K,
+            metric="Cosine",
+        )
+        np.savez_compressed(gp, ids=gt_ids, n=n, k=K, neval=NEVAL,
+                            metric="Cosine")
+        gt_src = "computed"
     hits = 0
     for i in range(NEVAL):
         hits += len(set(got.get(i, [])) & set(gt_ids[i].tolist()))
     rec = hits / (NEVAL * K)
-    tx.abort()
     emit("recall_eval", time.time() - t0, recall_at_10=round(rec, 4),
-         eval_queries=NEVAL)
+         eval_queries=NEVAL, gt=f"exact-f32-host-{gt_src}")
 
     if over_deadline("recursive_2hop"):
         return
@@ -232,6 +245,20 @@ def main():
 
     if over_deadline("proximity_pagerank"):
         return
+    # nothing after the 2-hop uses vector serving: free the int8 table
+    # (7.7GB of HBM at 10M x 768) so the graph phases get the whole chip
+    qt = idx._quant_sweep
+    if qt is not None:
+        qt.tbl = qt.scales = qt.bias = None
+        idx._quant_sweep = None
+        idx._quant_sweep_version = -1
+    import gc
+
+    import cozo_tpu.ops.graph_algos as GA
+
+    gc.collect()
+    emit("free_serving_table", 0.0)
+
     # proximity graph -> device PageRank via the constant-pin staging
     pr_script = (
         "?[n, s] <~ PageRank(*item:ix{layer: 0, fr_id, to_id})\n:limit 10"
@@ -243,26 +270,27 @@ def main():
     db.run_script(pr_script)
     emit("proximity_pagerank_warm", time.time() - t0)
 
-    # community detection on the proximity graph
+    # community detection on the proximity graph — EXACT at every scale
+    # (r5): the bucketed-lane hybrid LP kernel packs each node into a
+    # pow2-width dense lane (device memory ~ 2x|E|, not n x max_degree)
+    # and only mega-hubs past COZO_TPU_LP_TIER_MAX take the exact host
+    # mode.  Drop PageRank's staged device image first; LP stages its
+    # own lanes and the two never coexist.
     if over_deadline("community_labelprop"):
         return
-    # <=2M nodes: EXACT labels via the hybrid kernel (dense device pick +
-    # exact host mode for hub nodes).  Past that the dense neighbor array
-    # at full degree would blow HBM next to the int8 serving table, so
-    # hubs sample their 64 first-in-order in-edges (degree_cap — a
-    # documented approximation; ~70-85% of proximity-graph nodes are
-    # below the cap and stay exact).
-    cap_opt = "" if n <= 2_000_000 else ", degree_cap: 64"
+    GA._GRAPH_DEV_CACHE.clear()
+    gc.collect()
+    os.environ.setdefault("COZO_TPU_LP_DENSE_MAX", str(9 << 30))
     lp_script = (
         "?[l, n] <~ LabelPropagation(*item:ix{layer: 0, fr_id, to_id}, "
-        f"undirected: true{cap_opt})\n:limit 10"
+        "undirected: true)\n:limit 10"
     )
     t0 = time.time()
     db.run_script(lp_script)
-    emit("community_labelprop_cold", time.time() - t0)
+    emit("community_labelprop_cold", time.time() - t0, exact=True)
     t0 = time.time()
     db.run_script(lp_script)
-    emit("community_labelprop_warm", time.time() - t0)
+    emit("community_labelprop_warm", time.time() - t0, exact=True)
     emit("done", 0.0)
 
 

@@ -1151,14 +1151,92 @@ def _labelprop_dense_step_compiled(n_pad: int, dmax: int, blk: int,
     return step
 
 
+def _lane_pick_scan(labels, nb_l, w_l, H_pad, W, blk, dummy):
+    """Weighted-mode pick for one padded lane [H_pad, W] (dst-grouped
+    in-neighbor slots, `dummy`-padded); returns picked labels [H_pad].
+    Semantics identical to `_lp_dense_pick`: mode over in-neighbor
+    labels, ties -> smallest label; weighted lanes treat w<=0 as
+    invalid slots."""
+    import jax
+    import jax.numpy as jnp
+
+    BIG = jnp.int32(2**31 - 1)
+    nbb = nb_l.reshape(H_pad // blk, blk, W)
+    xs = (nbb,) if w_l is None else (nbb, w_l.reshape(H_pad // blk, blk, W))
+
+    def blk_fn(carry, xs_):
+        if w_l is None:
+            (nb_b,) = xs_
+            valid = nb_b != dummy
+            w_b = valid.astype(jnp.float32)
+        else:
+            nb_b, w_b = xs_
+            valid = w_b > 0
+        L = labels[nb_b]  # [blk, W]
+        eq = (L[:, :, None] == L[:, None, :]).astype(jnp.float32)
+        wsum = jnp.einsum("bdq,bq->bd", eq, w_b)
+        wsum = jnp.where(valid, wsum, -jnp.inf)
+        maxw = jnp.max(wsum, axis=1, keepdims=True)
+        cand = jnp.where(wsum == maxw, L, BIG)
+        return carry, jnp.min(cand, axis=1)
+
+    _, out = jax.lax.scan(blk_fn, None, xs)
+    return out.reshape(H_pad)
+
+
+def _lane_blk(W: int) -> int:
+    """Rows per scan block so the [blk, W, W] eq workspace stays ~512MB."""
+    return max(1, min(65536, (1 << 27) // max(W * W, 1)))
+
+
+def _labelprop_lanes_compiled(n_pad, lane_shapes, weighted, iters):
+    """One synchronous LP update over bucketed dense lanes.  lane_shapes
+    = tuple of (H_pad, W, blk).  Flat args per lane: nb [H_pad, W] i32,
+    idx [H_pad] i32 (scatter targets, dummy-padded), + w [H_pad, W] f32
+    when weighted.  `iters` None -> single step (host hub lane between
+    calls); int -> the whole loop in ONE device call."""
+    jax, jnp = _jax()
+    dummy = n_pad - 1
+    per = 3 if weighted else 2
+
+    def one_iter(labels, flat):
+        picked = labels
+        for li, (H_pad, W, blk) in enumerate(lane_shapes):
+            nb_l = flat[li * per]
+            idx_l = flat[li * per + 1]
+            w_l = flat[li * per + 2] if weighted else None
+            picks = _lane_pick_scan(labels, nb_l, w_l, H_pad, W, blk, dummy)
+            picked = picked.at[idx_l].set(picks)
+        return picked
+
+    if iters is None:
+        @jax.jit
+        def step(labels, *flat):
+            return one_iter(labels, flat)
+
+        return step
+
+    @jax.jit
+    def run(*flat):
+        labels0 = jnp.arange(n_pad, dtype=jnp.int32)
+        return jax.lax.fori_loop(
+            0, iters, lambda i, lab: one_iter(lab, flat), labels0
+        )
+
+    return run
+
+
 def _labelprop_hybrid(indptr, dst, w, iterations, cache_key, in_deg, n, e):
-    """Exact synchronous LP for graphs with hub nodes: nodes with
-    in-degree <= LP_DENSE_DMAX take the dense device pick; hub nodes'
-    weighted modes are computed exactly on the host (segment bincount
-    over their in-edges) between device iterations.  Hubs are the
-    power-law tail — their edges are few, so the host pass is cheap,
-    while the device never pays a 50M-element bitonic sort
-    (the old sort kernel: ~100s/iteration at that scale)."""
+    """Exact synchronous LP for power-law graphs: every node is packed
+    into a dense lane of pow2 width >= its in-degree (device memory is
+    bounded by ~2x the edge count, NOT n x max_degree — at 10M-node
+    proximity-graph scale the old single-cap layout was 8.6GB while the
+    lanes are ~2x|E|x4B), and only nodes past COZO_TPU_LP_TIER_MAX
+    (default 8192) take the exact host weighted-mode between device
+    iterations.  When no such mega-hub exists the entire iteration loop
+    runs as ONE device call — labels never leave HBM until the end.
+    COZO_TPU_LP_DENSE_MAX bounds total lane bytes; lanes past the budget
+    spill to the host pass (trades host work, never correctness)."""
     jax, jnp = _jax()
     import os as _os2
     import time as _time
@@ -1168,7 +1246,7 @@ def _labelprop_hybrid(indptr, dst, w, iterations, cache_key, in_deg, n, e):
     n_pad = _pad_pow2(n + 1)
     weighted = w is not None
     dk = _edge_data_key(cache_key, w)  # staged image bakes w in
-    staged = _GRAPH_DEV_CACHE.get(("lph", dk)) if dk else None
+    staged = _GRAPH_DEV_CACHE.get(("lph2", dk)) if dk else None
     if staged is None:
         dummy = n_pad - 1
         from cozo_tpu.utils.graph_stage import gather_f32
@@ -1177,97 +1255,120 @@ def _labelprop_hybrid(indptr, dst, w, iterations, cache_key, in_deg, n, e):
         if lp_log:
             print(f"# lp-hybrid dst_stage {_time.time() - t0:.1f}s",
                   flush=True)
-        if w is None:
-            w_s = None
-        else:
-            w_s = np.maximum(gather_f32(w, order), 0.0)
-        # adaptive cap: the dense side must fit the HBM budget
-        # (nb [n_pad, dmax] int32, + as much again if weighted); degrees
-        # past the cap go to the exact host pass, so shrinking the cap
-        # trades device memory for host work, never correctness
-        import os as _os
-
-        budget = int(_os.environ.get("COZO_TPU_LP_DENSE_MAX", 4 << 30))
-        cap = LP_DENSE_DMAX
+        w_s = None if w is None else np.maximum(gather_f32(w, order), 0.0)
+        budget = int(_os2.environ.get("COZO_TPU_LP_DENSE_MAX", 4 << 30))
+        tier_max = int(_os2.environ.get("COZO_TPU_LP_TIER_MAX", 8192))
         bytes_per_slot = 8 if weighted else 4
-        while cap > 8 and n_pad * cap * bytes_per_slot > budget:
-            cap //= 2
-        dst_s = np.repeat(np.arange(n_pad, dtype=np.int64), deg_pad)
-        is_hub_node = deg_pad > cap  # [n_pad]
-        hub_edge = is_hub_node[dst_s]
-        # dense side: non-hub in-edges packed [n_pad, dmax]
-        nh_dst = dst_s[~hub_edge]
-        nh_src = src_s[~hub_edge]
-        dmax = int(
-            1 << max(3, int(np.ceil(np.log2(max(
-                deg_pad[~is_hub_node].max(initial=1), 1)))))
+        deg = deg_pad[:n]
+        # lane id per node = ceil-pow2 of in-degree (min 8)
+        lane_w_of = np.maximum(
+            1 << np.ceil(np.log2(np.maximum(deg, 1))).astype(np.int64), 8
         )
-        starts = np.zeros(n_pad + 1, np.int64)
-        np.cumsum(np.where(is_hub_node, 0, deg_pad), out=starts[1:])
-        pos = np.arange(len(nh_dst), dtype=np.int64) - starts[nh_dst]
-        nb = np.full((n_pad, dmax), dummy, dtype=np.int32)
-        nb[nh_dst, pos] = nh_src
-        if weighted:
-            wq = np.zeros((n_pad, dmax), dtype=np.float32)
-            wq[nh_dst, pos] = w_s[~hub_edge]
-            wq_d = jnp.asarray(wq)
-        else:
-            wq_d = None
-        has_in = np.zeros(n_pad, dtype=bool)
-        has_in[:n] = (deg_pad[:n] > 0) & ~is_hub_node[:n]
-        # hub side: per-hub in-edge slices (dst-grouped already)
-        hub_nodes = np.nonzero(is_hub_node[:n])[0].astype(np.int64)
-        h_src = src_s[hub_edge].astype(np.int64)
-        h_seg = np.repeat(
-            np.arange(len(hub_nodes), dtype=np.int64),
-            deg_pad[hub_nodes],
+        lane_w_of[deg == 0] = 0  # no in-edges: keeps its label
+        node_start = np.zeros(n_pad, dtype=np.int64)
+        np.cumsum(deg_pad[:-1], out=node_start[1:])
+        lanes = []  # (shape, nb, idx, w) host arrays
+        spill = np.zeros(n, dtype=bool)
+        used = 0
+        for W in (1 << np.arange(3, 32)):
+            if W > tier_max or not (lane_w_of == W).any():
+                if W > max(tier_max, lane_w_of.max(initial=0)):
+                    break
+                spill |= lane_w_of == W
+                continue
+            nodes_l = np.nonzero(lane_w_of == W)[0]
+            blk = _lane_blk(int(W))
+            H_pad = -(-len(nodes_l) // blk) * blk
+            need = H_pad * int(W) * bytes_per_slot + H_pad * 4
+            if used + need > budget:
+                spill |= lane_w_of == W
+                continue
+            used += need
+            lens = deg[nodes_l]
+            tot = int(lens.sum())
+            rows = np.repeat(np.arange(len(nodes_l), dtype=np.int64), lens)
+            cols = np.arange(tot, dtype=np.int64) - np.repeat(
+                np.cumsum(lens, dtype=np.int64) - lens, lens
+            )
+            eidx = np.repeat(node_start[nodes_l], lens) + cols
+            nb_l = np.full((H_pad, int(W)), dummy, dtype=np.int32)
+            nb_l[rows, cols] = src_s[eidx]
+            idx_l = np.full(H_pad, dummy, dtype=np.int32)
+            idx_l[: len(nodes_l)] = nodes_l
+            w_l = None
+            if weighted:
+                w_l = np.zeros((H_pad, int(W)), dtype=np.float32)
+                w_l[rows, cols] = w_s[eidx]
+            lanes.append(((H_pad, int(W), blk), nb_l, idx_l, w_l))
+        # host lane: mega-hubs + budget spill (exact segment mode)
+        hub_nodes = np.nonzero(spill)[0].astype(np.int64)
+        lens = deg[hub_nodes]
+        tot = int(lens.sum())
+        cols = np.arange(tot, dtype=np.int64) - np.repeat(
+            np.cumsum(lens, dtype=np.int64) - lens, lens
         )
+        eidx = np.repeat(node_start[hub_nodes], lens) + cols
+        h_src = src_s[eidx].astype(np.int64)
+        h_seg = np.repeat(np.arange(len(hub_nodes), dtype=np.int64), lens)
         h_w = (
-            w_s[hub_edge].astype(np.float64)
+            w_s[eidx].astype(np.float64)
             if weighted
-            else np.ones(len(h_src), dtype=np.float64)
+            else np.ones(tot, dtype=np.float64)
         )
-        blk = min(n_pad, 65536)
-        staged = (
-            jnp.asarray(nb), wq_d, jnp.asarray(has_in),
-            hub_nodes, h_src, h_seg, h_w, dmax, blk,
-        )
+        lane_shapes = tuple(s for s, _, _, _ in lanes)
+        flat = []
+        for (_, nb_l, idx_l, w_l) in lanes:
+            flat.append(jnp.asarray(nb_l))
+            flat.append(jnp.asarray(idx_l))
+            if weighted:
+                flat.append(jnp.asarray(w_l))
+        staged = (lane_shapes, tuple(flat), hub_nodes, h_src, h_seg, h_w)
         if cache_key:
-            _dev_cache_put(("lph", dk), staged)
+            _dev_cache_put(("lph2", dk), staged)
         if lp_log:
             print(
-                f"# lp-hybrid staged {_time.time() - t0:.1f}s "
-                f"dmax {dmax} hubs {len(hub_nodes)}",
+                f"# lp-hybrid staged {_time.time() - t0:.1f}s lanes "
+                f"{[(int(s[1]), int(s[0])) for s in lane_shapes]} "
+                f"host-hubs {len(hub_nodes)} dev_bytes {used}",
                 flush=True,
             )
-    nb_d, wq_d, has_in_d, hub_nodes, h_src, h_seg, h_w, dmax, blk = staged
-    key = (n_pad, dmax, blk, weighted)
+    lane_shapes, flat, hub_nodes, h_src, h_seg, h_w = staged
+    H = len(hub_nodes)
+    if H == 0:
+        key = (n_pad, lane_shapes, weighted, iterations)
+        run = _LP_STEP_CACHE.get(key)
+        if run is None:
+            run = _labelprop_lanes_compiled(
+                n_pad, lane_shapes, weighted, iterations
+            )
+            _LP_STEP_CACHE[key] = run
+        labels = np.asarray(run(*flat))
+        if lp_log:
+            print(f"# lp-hybrid device loop {_time.time() - t0:.1f}s",
+                  flush=True)
+        return labels[:n]
+    key = (n_pad, lane_shapes, weighted, None)
     step = _LP_STEP_CACHE.get(key)
     if step is None:
-        step = _labelprop_dense_step_compiled(n_pad, dmax, blk, weighted)
+        step = _labelprop_lanes_compiled(n_pad, lane_shapes, weighted, None)
         _LP_STEP_CACHE[key] = step
-    H = len(hub_nodes)
     labels = np.arange(n_pad, dtype=np.int32)
     for _ in range(iterations):
-        picked = np.array(
-            step(nb_d, wq_d if weighted else nb_d, has_in_d,
-                 np.int32(n), jnp.asarray(labels))
-        )
-        if H:
-            # exact weighted mode per hub: segment-key bincount over
-            # (hub, neighbor label), ties -> smallest label (matches the
-            # dense kernel's tie-break)
-            lab_e = labels[h_src].astype(np.int64)
-            keys = h_seg * np.int64(n_pad) + lab_e
-            uk, inv = np.unique(keys, return_inverse=True)
-            wsum = np.bincount(inv, weights=h_w)
-            u_seg = uk // n_pad
-            u_lab = (uk % n_pad).astype(np.int64)
-            sel = np.lexsort((u_lab, -wsum, u_seg))
-            first = np.ones(len(sel), dtype=bool)
-            seg_sorted = u_seg[sel]
-            first[1:] = seg_sorted[1:] != seg_sorted[:-1]
-            picked[hub_nodes[seg_sorted[first]]] = u_lab[sel[first]]
+        picked = np.array(step(jnp.asarray(labels), *flat))
+        # exact weighted mode per hub: segment-key bincount over
+        # (hub, neighbor label), ties -> smallest label (matches the
+        # dense kernel's tie-break)
+        lab_e = labels[h_src].astype(np.int64)
+        keys = h_seg * np.int64(n_pad) + lab_e
+        uk, inv = np.unique(keys, return_inverse=True)
+        wsum = np.bincount(inv, weights=h_w)
+        u_seg = uk // n_pad
+        u_lab = (uk % n_pad).astype(np.int64)
+        sel = np.lexsort((u_lab, -wsum, u_seg))
+        first = np.ones(len(sel), dtype=bool)
+        seg_sorted = u_seg[sel]
+        first[1:] = seg_sorted[1:] != seg_sorted[:-1]
+        picked[hub_nodes[seg_sorted[first]]] = u_lab[sel[first]]
         labels = picked
         if lp_log:
             print(f"# lp-hybrid iter {_time.time() - t0:.1f}s cumulative",

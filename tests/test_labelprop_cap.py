@@ -61,6 +61,35 @@ def test_hybrid_matches_sort_kernel_on_hub_graph(monkeypatch):
     assert (lab_sort == lab_hyb).all()
 
 
+def test_hybrid_multilane_matches_sort_kernel(monkeypatch):
+    """Bucketed-lane hybrid (r5): degrees spanning several pow2 lanes
+    PLUS one mega-hub past COZO_TPU_LP_TIER_MAX (host lane) must still
+    reproduce the sort kernel's labels exactly."""
+    rng = np.random.default_rng(7)
+    n = 3000
+    edges = []
+    # degree spread: node i gets ~i/12 in-edges (lanes 8..256)
+    for v in range(1, n - 1):
+        for _ in range(1 + v // 12 % 250):
+            edges.append((int(rng.integers(0, n)), v))
+    # mega-hub: in-degree past the (shrunk) tier max -> host lane
+    for i in range(600):
+        edges.append((i % (n - 1), n - 1))
+    src = np.array([e[0] for e in edges])
+    dst = np.array([e[1] for e in edges])
+    order = np.argsort(src, kind="stable")
+    src, dst = src[order], dst[order]
+    indptr = np.zeros(n + 1, np.int64)
+    np.add.at(indptr, src + 1, 1)
+    indptr = np.cumsum(indptr)
+    monkeypatch.setenv("COZO_TPU_LP_IMPL", "sort")
+    lab_sort = labelprop_jax(indptr, dst, iterations=5)
+    monkeypatch.setenv("COZO_TPU_LP_IMPL", "hybrid")
+    monkeypatch.setenv("COZO_TPU_LP_TIER_MAX", "512")
+    lab_hyb = labelprop_jax(indptr, dst, iterations=5)
+    assert (lab_sort == lab_hyb).all()
+
+
 def test_hybrid_weighted_hub_exact(monkeypatch):
     """Weighted hub mode through the hybrid path is exact: strong A
     edges beat a weak B flood WITHOUT any degree_cap truncation."""
