@@ -150,6 +150,10 @@ def _w_fingerprint(w):
     hit = _W_FP_CACHE.get(id(w))
     if hit is not None and hit[0]() is w:
         return hit[1], hit[2], hit[3]
+    # evict dead entries eagerly: each one pins a full f32 weight copy
+    # (4B/edge — several GB at 69M+ edges) until the blanket clear
+    for k in [k for k, v in _W_FP_CACHE.items() if v[0]() is None]:
+        del _W_FP_CACHE[k]
     w_np = np.ascontiguousarray(np.asarray(w, dtype=np.float32))
     h = hashlib.blake2b(digest_size=8)
     h.update(w_np)
@@ -163,6 +167,11 @@ def _w_fingerprint(w):
         ref = weakref.ref(w)
     except TypeError:  # plain lists etc.
         ref = lambda: w  # noqa: E731
+    if isinstance(w, np.ndarray):
+        # the digest memoizes by identity: an in-place mutation of the
+        # source would silently reuse a stale staged device image, so
+        # freeze it (CSR-cache consumers are read-only by contract)
+        w.flags.writeable = False
     if len(_W_FP_CACHE) > 16:
         _W_FP_CACHE.clear()
     _W_FP_CACHE[id(w)] = (ref, w_np, digest, uniform)
