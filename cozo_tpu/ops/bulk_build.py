@@ -125,9 +125,15 @@ def _build_step_fn(n_chunks: int, chunk: int, d_pad: int, W: int, P: int,
         else:
             qs = new_rows
 
-        # per-chunk raw PartialReduce bins (aggregate_to_topk=False); one
-        # exact top_k over all bins at the end — the per-chunk exact
-        # aggregation pass dominated the sweep (see exact_knn._sweep_fn)
+        # per-chunk raw PartialReduce bins + one exact end top_k for few
+        # chunks; per-chunk aggregation past _AGG_CHUNKS — at 77 chunks
+        # the deferred end-merge runs top_k over n_chunks*bins ~ 150K
+        # columns (measured 2x slower + pathological compile;
+        # benches/profile_quant_10m.py / ops/quant_knn._AGG_CHUNKS)
+        from .quant_knn import _AGG_CHUNKS
+
+        agg = n_chunks > _AGG_CHUNKS
+
         def body(_, xs):
             chunk_v, chunk_b = xs
             s = jax.lax.dot_general(
@@ -136,7 +142,7 @@ def _build_step_fn(n_chunks: int, chunk: int, d_pad: int, W: int, P: int,
                 preferred_element_type=jnp.float32,
             ) + chunk_b[None, :]
             nd, ni = jax.lax.approx_max_k(
-                s, P + 1, recall_target=rt, aggregate_to_topk=False
+                s, P + 1, recall_target=rt, aggregate_to_topk=agg
             )
             return None, (nd, ni)
 
@@ -246,6 +252,10 @@ def _build_step_fn_i8(n_chunks: int, chunk: int, d_pad: int, W: int, P: int,
         else:
             qs = new_rows.astype(jnp.bfloat16)
 
+        from .quant_knn import _AGG_CHUNKS
+
+        agg = n_chunks > _AGG_CHUNKS  # see _build_step_fn
+
         def body(_, xs):
             cv, csc, cb = xs
             s = jax.lax.dot_general(
@@ -254,7 +264,7 @@ def _build_step_fn_i8(n_chunks: int, chunk: int, d_pad: int, W: int, P: int,
                 preferred_element_type=jnp.float32,
             ) * csc[None, :] + cb[None, :]
             nd, ni = jax.lax.approx_max_k(
-                s, P + 1, recall_target=rt, aggregate_to_topk=False
+                s, P + 1, recall_target=rt, aggregate_to_topk=agg
             )
             return None, (nd, ni)
 

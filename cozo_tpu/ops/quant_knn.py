@@ -44,6 +44,16 @@ def _chunking(n: int) -> Tuple[int, int]:
 _QSWEEP_FNS = {}
 
 
+# past this chunk count the per-chunk aggregation pass beats the
+# deferred end-merge: at 77 chunks (10M rows) the deferred design's one
+# exact top_k runs over n_chunks*1024 = 78,848 columns — measured 0.65s
+# warm and a pathological 939s XLA compile, vs 0.31s warm / 2.7s compile
+# with aggregate_to_topk=True (benches/profile_quant_10m.py).  At <=9
+# chunks (the 1.18M serving shape) the r4 measurement still holds the
+# other way (deferred wins, exact_knn._sweep_fn).
+_AGG_CHUNKS = 16
+
+
 def _qsweep_fn(n_chunks: int, chunk: int, d_pad: int, kf: int, rt: float):
     """score = (q_i8 . row_i8) * scale_row * scale_q + bias_row.
 
@@ -58,6 +68,7 @@ def _qsweep_fn(n_chunks: int, chunk: int, d_pad: int, kf: int, rt: float):
     fn = _QSWEEP_FNS.get(key)
     if fn is not None:
         return fn
+    aggregate = n_chunks > _AGG_CHUNKS
 
     @jax.jit
     def run(tbl_i8, scales, bias, qs_i8, q_scale):
@@ -74,11 +85,8 @@ def _qsweep_fn(n_chunks: int, chunk: int, d_pad: int, kf: int, rt: float):
                 s32.astype(jnp.float32) * cs[None, :] * q_scale[:, None]
                 + cb[None, :]
             )
-            # raw PartialReduce bins; ONE exact top_k after the scan
-            # (the per-chunk aggregation pass dominated the sweep — see
-            # exact_knn._sweep_fn)
             nd, ni = jax.lax.approx_max_k(
-                s, kf, recall_target=rt, aggregate_to_topk=False
+                s, kf, recall_target=rt, aggregate_to_topk=aggregate
             )
             return None, (nd, ni)
 
