@@ -155,17 +155,26 @@ def main():
     # variance is real — VERDICT r2 weak #9): value = mean, and the
     # JSON reports qps_min / qps_median across reps.
     curve = []
-    # headline at rt=0.98, the serving default: measured 0.9991 recall
-    # with the exact f32 re-rank (>=0.999) at ~1.2x the rt=0.99 QPS
-    # (BENCH_NOTES round 4: the residual miss probability is covered by
-    # the overfetch+rerank lane, not the raw bin recall)
-    for rt, rerank, tag in ((0.98, True, "bf16+rerank"), (0.99, False, "bf16-raw")):
-        ids, _ = sweep_search(index, qs, K, rt=rt, exact_rerank=rerank)  # warm
+    # three lanes at the serving operating points: the int8-scored lane
+    # (r5 — int8 MXU MACs at 2x the bf16 rate + bf16 score slab, exact
+    # f32 in-jit rerank), the bf16 lane (r4 headline), and the raw-bf16
+    # mid-recall point.  The headline is picked DATA-DRIVEN below: the
+    # fastest reranked lane holding recall@10 >= 0.999.
+    for rt, mode, tag in (
+        (0.98, "i8", "i8+rerank"),
+        (0.98, "bf16", "bf16+rerank"),
+        (0.99, "raw", "bf16-raw"),
+    ):
+        rerank = mode != "raw"
+        cd = "i8" if mode == "i8" else "bf16"
+        ids, _ = sweep_search(index, qs, K, rt=rt, compute_dtype=cd,
+                              exact_rerank=rerank)  # warm
         reps = 5
         per_rep = []
         for _ in range(reps):
             t0 = time.time()
-            ids, _ = sweep_search(index, qs, K, rt=rt, exact_rerank=rerank)
+            ids, _ = sweep_search(index, qs, K, rt=rt, compute_dtype=cd,
+                                  exact_rerank=rerank)
             per_rep.append(NQ / (time.time() - t0))
         # stall awareness (VERDICT r4 weak #2): the relay occasionally
         # drops one rep ~10x (r4's judged artifact: min 3,235 vs median
@@ -178,7 +187,7 @@ def main():
         for i, v in enumerate(per_rep):
             if v < 0.5 * med0:
                 t0 = time.time()
-                ids, _ = sweep_search(index, qs, K, rt=rt,
+                ids, _ = sweep_search(index, qs, K, rt=rt, compute_dtype=cd,
                                       exact_rerank=rerank)
                 per_rep[i] = NQ / (time.time() - t0)
                 retried += 1
@@ -230,8 +239,15 @@ def main():
     log(f"jax compile cache: {cache0} entries at start, "
         f"{new_entries} new (0 new = fully warm)")
 
-    tag, qps, rec, reps1, rtr1 = curve[0]  # headline: exact-rerank high-recall
-    tag2, qps2, rec2, reps2, rtr2 = curve[1]  # secondary: raw-bf16 mid-recall
+    # headline: fastest reranked lane holding recall@10 >= 0.999 (the
+    # bf16 lane is the guaranteed fallback — its rerank recall has been
+    # >= 0.999 every round)
+    reranked = [c for c in curve if c[0].endswith("+rerank")]
+    ok = [c for c in reranked if c[2] >= 0.999]
+    head = max(ok, key=lambda c: c[1]) if ok else curve[1]
+    tag, qps, rec, reps1, rtr1 = head
+    tag2, qps2, rec2, reps2, rtr2 = curve[-1]  # secondary: raw mid-recall
+    log(f"headline lane: {tag}")
     ratio = round(qps / cpu_qps_at(rec), 2)
     ratio2 = round(qps2 / cpu_qps_at(rec2), 2)
     log(f"high-recall: {qps:,.0f} QPS @ {rec:.4f} -> {ratio}x CPU; "
@@ -244,6 +260,7 @@ def main():
                 # clustered synthetic at the exact shape; the CPU baseline
                 # curve is measured on the SAME data, so the ratio holds
                 "data": "synthetic-clustered",
+                "lane": tag,
                 # value = MEDIAN over reps (stall-robust; see per_rep)
                 "value": round(qps, 1),
                 "unit": "queries/s",

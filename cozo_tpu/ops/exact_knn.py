@@ -163,6 +163,119 @@ def _sweep_fn(n_chunks: int, chunk: int, d_pad: int, k: int, rt: float,
     return run
 
 
+_SWEEP_FNS_I8 = {}
+
+
+def _sweep_fn_i8(n_chunks: int, chunk: int, d_pad: int, k: int, rt: float,
+                 rerank_k: int, metric: str, d_in: int):
+    """int8-scored sweep with in-jit exact f32 re-rank — for HBM-resident
+    tables (the 1.18M serving shape), one step past the bf16 lane toward
+    the matmul floor: int8 MXU MACs run ~2x the bf16 rate, and the score
+    slab the bin-select pass reads back is emitted bf16 (half the HBM
+    traffic of the f32 slab).  Queries arrive f16, are quantized to int8
+    per-query max-abs ON DEVICE (asymmetric ScaNN-style scoring with a
+    rank-invariant per-query scale), and the f32 table re-ranks the
+    over-fetched candidates exactly — recall at the operating point is
+    covered by the rerank, same as the bf16 lane.  SURVEY §7.4."""
+    jax, jnp = _jx()
+    key = (n_chunks, chunk, d_pad, k, rt, rerank_k, metric, d_in)
+    fn = _SWEEP_FNS_I8.get(key)
+    if fn is not None:
+        return fn
+    kf = max(k, rerank_k)
+
+    @jax.jit
+    def run(tbl_i8, scale, bias, tbl, qs_in):
+        qs = qs_in.astype(jnp.float32)
+        if d_in and d_in < d_pad:
+            qs = jnp.pad(qs, ((0, 0), (0, d_pad - d_in)))
+        B = qs.shape[0]
+        mx = jnp.max(jnp.abs(qs), axis=1)
+        q_scale = jnp.where(mx > 0, mx / 127.0, 1.0).astype(jnp.float32)
+        q_i8 = jnp.clip(
+            jnp.round(qs / q_scale[:, None]), -127, 127
+        ).astype(jnp.int8)
+
+        def body(_, xs):
+            cv, cs, cb = xs  # [chunk, d_pad] i8, [chunk] f32, [chunk] f32
+            s32 = jax.lax.dot_general(
+                q_i8, cv, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            s = (
+                s32.astype(jnp.float32) * (cs[None, :])
+                * q_scale[:, None] + cb[None, :]
+            ).astype(jnp.bfloat16)
+            nd, ni = jax.lax.approx_max_k(
+                s, kf, recall_target=rt,
+                aggregate_to_topk=n_chunks > 16,
+            )
+            return None, (nd, ni)
+
+        _, (nds, nis) = jax.lax.scan(body, None, (tbl_i8, scale, bias))
+        w = nds.shape[2]
+        offs = (jnp.arange(n_chunks, dtype=jnp.int32) * chunk)[None, :, None]
+        alld = jnp.moveaxis(nds, 0, 1).reshape(B, n_chunks * w)
+        alli = (jnp.moveaxis(nis, 0, 1) + offs).reshape(B, n_chunks * w)
+        if n_chunks * w == kf:
+            bs, bi = alld, alli
+        else:
+            bs, sel = jax.lax.top_k(alld, kf)
+            bi = jnp.take_along_axis(alli, sel, axis=1)
+        # exact f32 rescore of the candidate set (same tail as _sweep_fn)
+        flat = tbl.reshape(-1, d_pad)
+        safe = jnp.where(bi >= 0, bi, 0)
+        rows = flat[safe]  # [B, kf, d_pad]
+        valid = (bi >= 0) & jnp.isfinite(bs.astype(jnp.float32))
+        if metric == "L2":
+            v = rows * 0.5
+            diff = qs[:, None, :] - v
+            d_exact = jnp.sum(diff * diff, axis=2)
+            s_exact = -d_exact
+        else:
+            s_exact = jnp.einsum(
+                "bkd,bd->bk", rows, qs,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        s_exact = jnp.where(valid, s_exact, -jnp.inf)
+        ts, ti = jax.lax.top_k(s_exact, k)
+        out_i = jnp.take_along_axis(bi, ti, axis=1)
+        return jnp.concatenate(
+            [out_i.astype(jnp.int32),
+             jax.lax.bitcast_convert_type(ts, jnp.int32)], axis=1)
+
+    _SWEEP_FNS_I8[key] = run
+    return run
+
+
+_QUANTIZE_FNS = {}
+
+
+def _quantize_tbl_fn(n_chunks: int, chunk: int, d_pad: int):
+    """Derive the int8 lane (rows + per-row scale) from the resident f32
+    table entirely on device — no host round-trip, re-run per version."""
+    jax, jnp = _jx()
+    key = (n_chunks, chunk, d_pad)
+    fn = _QUANTIZE_FNS.get(key)
+    if fn is not None:
+        return fn
+
+    @jax.jit
+    def run(tbl, bias):
+        mx = jnp.max(jnp.abs(tbl), axis=2)
+        sc = jnp.where(mx > 0, mx / 127.0, 1.0)
+        q = jnp.clip(
+            jnp.round(tbl / sc[..., None]), -127, 127
+        ).astype(jnp.int8)
+        return q, jnp.where(
+            jnp.isfinite(bias), sc, 0.0
+        ).astype(jnp.float32)
+
+    _QUANTIZE_FNS[key] = run
+    return run
+
+
 _UPDATE_FNS = {}
 
 
@@ -199,6 +312,11 @@ class SweepTable:
         # capacity hint: size chunking for this many rows up-front so a
         # growing bulk build compiles the sweep exactly once
         self.reserve = 0
+        # int8 scoring lane (compute_dtype="i8"), derived on device from
+        # the f32 table per version
+        self.tbl_i8 = None
+        self.scale_i8 = None
+        self.i8_version = -1
 
     # -- host-side row prep ---------------------------------------------------
 
@@ -293,7 +411,7 @@ class SweepTable:
 
         qdt = (
             np.float16
-            if compute_dtype == "bf16"  # the f32 mode stays bit-exact
+            if compute_dtype in ("bf16", "i8")  # f32 mode stays bit-exact
             and _os.environ.get("COZO_TPU_Q_F16", "1") == "1"
             else np.float32
         )
@@ -318,11 +436,28 @@ class SweepTable:
         # hnsw_knn returns true f32 distances, runtime/hnsw.rs:943-1006),
         # all in one relay round-trip
         rerank_k = min(k + 16, self.n_chunks * self.chunk) if exact_rerank else 0
-        fn = _sweep_fn(
-            self.n_chunks, self.chunk, self.d_pad, k, rt, compute_dtype,
-            rerank_k=rerank_k, metric=index.distance, d_in=d,
-        )
-        packed = np.asarray(fn(self.tbl, self.bias, jnp.asarray(qp)))
+        if compute_dtype == "i8":
+            # int8 lane (always exact-reranked): quantize-on-device copy
+            if self.i8_version != self.version or self.tbl_i8 is None:
+                qfn = _quantize_tbl_fn(self.n_chunks, self.chunk, self.d_pad)
+                self.tbl_i8, self.scale_i8 = qfn(self.tbl, self.bias)
+                self.i8_version = self.version
+            fn = _sweep_fn_i8(
+                self.n_chunks, self.chunk, self.d_pad, k, rt,
+                rerank_k=max(rerank_k, k + 16), metric=index.distance,
+                d_in=d,
+            )
+            packed = np.asarray(fn(
+                self.tbl_i8, self.scale_i8, self.bias, self.tbl,
+                jnp.asarray(qp),
+            ))
+            exact_rerank = True
+        else:
+            fn = _sweep_fn(
+                self.n_chunks, self.chunk, self.d_pad, k, rt, compute_dtype,
+                rerank_k=rerank_k, metric=index.distance, d_in=d,
+            )
+            packed = np.asarray(fn(self.tbl, self.bias, jnp.asarray(qp)))
         kk = packed.shape[1] // 2
         ids = packed[:, :kk].astype(np.int64)
         scores = np.ascontiguousarray(packed[:, kk:]).view(

@@ -31,6 +31,37 @@ def test_sweep_matches_exact(distance):
     np.testing.assert_allclose(np.sort(dists, 1), np.sort(gt_d, 1), rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.parametrize("distance", ["L2", "Cosine", "IP"])
+def test_sweep_i8_lane_matches_exact(distance):
+    """int8 scoring + in-jit f32 rerank (r5 serving lane): the rerank
+    restores exact top-k order; recall vs host exact must match the
+    bf16 lane's bar."""
+    rng = np.random.default_rng(6)
+    n, d, B, k = 3000, 48, 128, 10
+    data = rng.standard_normal((n, d)).astype(np.float32)
+    idx = HnswIndex(dim=d, m=8, ef_construction=50, distance=distance)
+    for v in data:
+        idx.insert(v)
+    qs = rng.standard_normal((B, d)).astype(np.float32)
+    ids, dists = sweep_search(idx, qs, k, rt=0.99, compute_dtype="i8")
+    gt_ids, gt_d = _host_exact(idx, qs, k)
+    rec = np.mean([
+        len(set(ids[b].tolist()) & set(gt_ids[b].tolist())) / k
+        for b in range(B)
+    ])
+    assert rec > 0.97, f"i8 sweep recall {rec}"
+    # reranked distances are exact f32 for the returned rows
+    mask = ids == gt_ids  # rows where ranks agree exactly
+    np.testing.assert_allclose(
+        dists[mask], gt_d[mask], rtol=2e-3, atol=2e-3
+    )
+
+    # version bump invalidates the quantized lane
+    idx.insert(qs[0])
+    ids2, d2 = sweep_search(idx, qs[:8], k, rt=0.99, compute_dtype="i8")
+    assert ids2[0, 0] == idx.n - 1 and d2[0, 0] < 1e-3
+
+
 def test_sweep_incremental_mutations():
     rng = np.random.default_rng(4)
     n, d, k = 1000, 16, 5
