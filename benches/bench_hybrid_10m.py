@@ -40,10 +40,23 @@ OUT_PATH = None
 META = {}
 
 
+def _rss_now_mb():
+    """Current (not peak) resident size — the r4 run OOMed the host at
+    the LabelPropagation phase and ru_maxrss couldn't attribute it."""
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1]) // 1024
+    except OSError:
+        pass
+    return -1
+
+
 def emit(phase, seconds, **kw):
     rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
     rec = {"phase": phase, "seconds": round(seconds, 2),
-           "peak_rss_mb": rss, **kw}
+           "peak_rss_mb": rss, "rss_now_mb": _rss_now_mb(), **kw}
     PHASES.append(rec)
     if phase == "done":
         META["status"] = "done"
@@ -98,6 +111,9 @@ def main():
 
     # a 10M build on host waves would take days — fail loudly instead
     os.environ.setdefault("COZO_TPU_REQUIRE_DEVICE_BUILD", "1")
+    # attribute the join's engine-vs-device split in the artifact log
+    # (r4's 318 QPS collapse was unattributable without it)
+    os.environ.setdefault("COZO_TPU_SEARCH_TIMING", "1")
 
     from cozo_tpu.runtime.db import Db
 
@@ -170,11 +186,17 @@ def main():
     out = db.run_script(join)  # cold (compile + device staging)
     emit("vector_pivot_join_cold", time.time() - t0, queries=NQ,
          rows=len(out.rows))
-    t0 = time.time()
-    out = db.run_script(join)
-    el = time.time() - t0
+    # 3 warm reps: the relay's run-to-run weather is ±15%+; report the
+    # median as the headline (per-rep values stay in the artifact)
+    reps = []
+    for _ in range(3):
+        t0 = time.time()
+        out = db.run_script(join)
+        reps.append(time.time() - t0)
+    el = sorted(reps)[len(reps) // 2]
     emit("vector_pivot_join", el, queries=NQ, rows=len(out.rows),
-         qps=round(NQ / el))
+         qps=round(NQ / el),
+         reps_qps=[round(NQ / r) for r in reps])
 
     # ops-layer search timing (same queries, straight through
     # HnswIndex.search): separates kernel cost from engine-step cost in
@@ -246,18 +268,27 @@ def main():
     if over_deadline("proximity_pagerank"):
         return
     # nothing after the 2-hop uses vector serving: free the int8 table
-    # (7.7GB of HBM at 10M x 768) so the graph phases get the whole chip
+    # (7.7GB of HBM at 10M x 768) so the graph phases get the whole chip,
+    # AND the host-side f32 row mirror + norms (30.8GB at 10M x 768) so
+    # the graph phases get the host RAM — the r4 run entered
+    # LabelPropagation at ~120GB RSS and the kernel OOM-killed it at
+    # 131GB.  The mirror is a cache: it rebuilds from the KV rows if a
+    # later search needs it (none does in this pipeline).
     qt = idx._quant_sweep
     if qt is not None:
         qt.tbl = qt.scales = qt.bias = None
         idx._quant_sweep = None
         idx._quant_sweep_version = -1
+    freed = idx.vectors.nbytes + idx.norms.nbytes
+    idx.vectors = np.zeros((0, D), dtype=idx.dtype)
+    idx.norms = np.zeros(0, dtype=np.float64)
+    del out, out2, got, qs
     import gc
 
     import cozo_tpu.ops.graph_algos as GA
 
     gc.collect()
-    emit("free_serving_table", 0.0)
+    emit("free_serving_table", 0.0, freed_host_mb=freed // (1 << 20))
 
     # proximity graph -> device PageRank via the constant-pin staging
     pr_script = (

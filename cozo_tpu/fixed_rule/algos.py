@@ -93,8 +93,22 @@ class PageRank(FixedRule):
         return rows, True, presorted
 
 
-def _build_adj_w(payload, undirected: bool, input_idx: int = 0):
+def _build_adj_w(payload, undirected: bool, input_idx: int = 0,
+                 unit_as_none: bool = False):
+    """CSR + weights for a graph input.  `unit_as_none=True`: a 2-column
+    (unweighted) input returns w=None instead of a ones array — at the
+    10M-node proximity graph the ones array is 5.3GB allocated, copied
+    and hashed per call, and the device LP kernel has a dedicated
+    unit-weight lane that never materializes weights at all."""
     edges = payload.get_input(input_idx)
+    if unit_as_none:
+        try:
+            ar = edges.arity()
+        except Exception:
+            ar = None
+        if ar == 2:
+            indptr, dst, verts = edges.as_directed_graph(undirected)
+            return indptr, dst, None, verts
     indptr, dst, w, verts = edges.as_directed_weighted_graph(undirected)
     return indptr, dst, w, verts
 
@@ -951,7 +965,7 @@ class LabelPropagation(FixedRule):
         # cap hub in-neighborhoods at `degree_cap` (highest-weight edges)
         # so huge power-law graphs stay on the dense device kernel
         degree_cap = payload.int_option("degree_cap", 0)
-        indptr, dst, w, verts = _build_adj_w(payload, True)
+        indptr, dst, w, verts = _build_adj_w(payload, True, unit_as_none=True)
         n = len(verts)
         if len(dst) >= TPU_EDGE_THRESHOLD:
             # scale path: sort/scan-based synchronous LPA on device
@@ -993,7 +1007,9 @@ class LabelPropagation(FixedRule):
                 wc: Dict[int, float] = {}
                 for ei in range(indptr[u], indptr[u + 1]):
                     l = int(labels[dst[ei]])
-                    wc[l] = wc.get(l, 0.0) + float(w[ei])
+                    wc[l] = wc.get(l, 0.0) + (
+                        1.0 if w is None else float(w[ei])
+                    )
                 best_w = max(wc.values())
                 best = [l for l, wt in wc.items() if wt == best_w]
                 new = rng.choice(best)
@@ -1015,7 +1031,7 @@ class LabelPropagation(FixedRule):
         undirected = payload.bool_option("undirected", False)
         max_iter = payload.int_option("max_iter", 10)
         degree_cap = payload.int_option("degree_cap", 0)
-        indptr, dst, w, verts = _build_adj_w(payload, True)
+        indptr, dst, w, verts = _build_adj_w(payload, True, unit_as_none=True)
         n = len(verts)
         if n == 0:
             return [], True, True

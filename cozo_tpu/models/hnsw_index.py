@@ -448,7 +448,9 @@ class HnswIndex:
                         )
                         self._quant_sweep = qt
                         self._quant_sweep_version = self.version
-                    return quant_search(self.vectors, qt, qs, k)
+                    return quant_search(
+                        self.vectors, qt, qs, k, sq_norms=self.norms
+                    )
                 except Exception as e:  # pragma: no cover — device fallback
                     _fb.record("hnsw.quant_sweep", e)
             # Large query batches (or single-chunk tables): the chunked MXU

@@ -232,38 +232,62 @@ class QuantSweepTable:
 
 
 def quant_search(vectors: np.ndarray, table: QuantSweepTable, qs: np.ndarray,
-                 k: int, overfetch: int = 4, rt: float = 0.95):
+                 k: int, overfetch: Optional[int] = None, rt: float = 0.95,
+                 sq_norms: Optional[np.ndarray] = None):
     """End-to-end: int8 device scan over-fetching overfetch*k candidates,
     exact f32 re-rank on the host against `vectors` (the full-precision
     rows, host-resident).  Returns (ids [B, k], dists [B, k]) with the
     index's distance semantics (cosine/L2 distance / negative IP).
 
-    overfetch default 4: measured recall@10 is flat from overfetch 2-8
-    (0.9814 at 10M x 768 — the int8 rank order is already near-exact and
-    the residual gap is row quantization, which no overfetch recovers),
-    while the HOST side of the rerank (a [B, kf, d] gather + einsum on a
-    single core) scales linearly with kf."""
+    overfetch default 4 (env COZO_TPU_QUANT_OVERFETCH): measured
+    recall@10 is flat from overfetch 2-8 (0.9814 at 10M x 768 — the int8
+    rank order is already near-exact and the residual gap is row
+    quantization, which no overfetch recovers), while the HOST side of
+    the rerank (a [B, kf, d] gather + einsum on a single core) scales
+    linearly with kf.
+
+    `sq_norms`: precomputed squared row norms (HnswIndex.norms) — saves
+    a full [B, kf, d] pass recomputing candidate norms for Cosine."""
+    import os as _os
+    import time as _time
+
+    timing = _os.environ.get("COZO_TPU_SEARCH_TIMING") == "1"
+    if overfetch is None:
+        overfetch = int(_os.environ.get("COZO_TPU_QUANT_OVERFETCH", 4))
     kf = min(max(k * overfetch, k), table.chunk)
+    t0 = _time.time()
     ids, _ = table.search_candidates(qs, kf, rt)
+    t_scan = _time.time()
     B = qs.shape[0]
     q = np.asarray(qs, dtype=np.float32)
     if table.distance == "Cosine":
         qn = np.linalg.norm(q, axis=1, keepdims=True)
         q = q / np.where(qn > 0, qn, 1.0)
     safe = np.where(ids >= 0, ids, 0)
-    cand = vectors[safe].astype(np.float32)  # [B, kf, d]
+    cand = vectors[safe]  # [B, kf, d] gather — the rerank's hot cost
     if table.distance == "Cosine":
-        cn = np.linalg.norm(cand, axis=2)
-        dots = np.einsum("bkd,bd->bk", cand, q)
+        dots = np.einsum("bkd,bd->bk", cand, q, dtype=np.float32)
+        if sq_norms is not None:
+            cn = np.sqrt(sq_norms[safe]).astype(np.float32)
+        else:
+            cn = np.sqrt(
+                np.einsum("bkd,bkd->bk", cand, cand, dtype=np.float32)
+            )
         sims = dots / np.where(cn > 0, cn, 1.0)
         d = 1.0 - sims
     elif table.distance == "L2":
-        diff = cand - q[:, None, :]
-        d = np.einsum("bkd,bkd->bk", diff, diff)
+        diff = cand - q[:, None, :]  # promotes to f32 (q is f32)
+        d = np.einsum("bkd,bkd->bk", diff, diff, dtype=np.float32)
     else:  # IP
-        d = -np.einsum("bkd,bd->bk", cand, q)
+        d = -np.einsum("bkd,bd->bk", cand, q, dtype=np.float32)
     d = np.where(ids >= 0, d, np.inf)
     sel = np.argsort(d, axis=1, kind="stable")[:, :k]
     out_ids = np.take_along_axis(ids, sel, axis=1)
     out_d = np.take_along_axis(d, sel, axis=1)
+    if timing:
+        print(
+            f"# quant_search B={B} kf={kf}: scan+pull "
+            f"{t_scan - t0:.3f}s rerank {_time.time() - t_scan:.3f}s",
+            flush=True,
+        )
     return out_ids, out_d

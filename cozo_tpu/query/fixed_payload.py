@@ -16,6 +16,36 @@ from ..data.value import cmp_key
 from ..utils.errors import QueryError
 
 
+def _undirected_merge(indptr, src_a, dst_a, out_deg):
+    """(indptr_und, indices_und) for src ∪ reversed edges, given a
+    src-grouped directed CSR — O(E), no 2E-element argsort (at the 10M
+    node / 330M edge proximity graph that argsort is a 660M-element
+    single-core sort: ~90s + 5.3GB of permutation temporaries).
+
+    Ordering matches the old concat+stable-argsort output bit-for-bit:
+    within each source's block, forward edges keep CSR order and precede
+    reversed edges, which keep ascending original-edge order (the native
+    counting sort in utils/graph_stage is stable)."""
+    from ..utils.graph_stage import stage_by_dst
+
+    nv = len(indptr) - 1
+    e = len(dst_a)
+    src_rev, _, in_deg = stage_by_dst(indptr, dst_a, nv)
+    und_ptr = np.zeros(nv + 1, dtype=np.int64)
+    np.cumsum(out_deg + in_deg, out=und_ptr[1:])
+    indices = np.empty(2 * e, dtype=np.int64)
+    ar = np.arange(e, dtype=np.int64)
+    # forward: position = block start + rank within the src's CSR run
+    indices[und_ptr[src_a] + (ar - indptr[src_a])] = dst_a
+    # reversed: grouped by (original dst) already; rank via in-deg cumsum
+    rev_start = np.zeros(nv, dtype=np.int64)
+    if nv > 1:
+        np.cumsum(in_deg[:-1], out=rev_start[1:])
+    rev_src = np.repeat(np.arange(nv, dtype=np.int64), in_deg)
+    indices[und_ptr[rev_src] + out_deg[rev_src] + (ar - rev_start[rev_src])] = src_rev
+    return und_ptr, indices
+
+
 class FixedInput:
     """One input relation of a fixed rule."""
 
@@ -141,10 +171,8 @@ class FixedInput:
         device-array content cache a warm 32M-edge PageRank is pure
         device time)."""
         db = getattr(self.ctx, "db", None)
-        ck = None
-        if db is not None and isinstance(self.arg, FixedRuleRelArg) and self.arg.validity is None:
-            ver = db._rel_versions.get(self.arg.name, 0)
-            ck = (self.arg.name, ver, undirected, "csr")
+        ck = self._csr_cache_key(db, undirected)
+        if ck is not None:
             got = db._csr_cache.get(ck)
             if got is not None:
                 return got
@@ -154,6 +182,33 @@ class FixedInput:
                 db._csr_cache.pop(next(iter(db._csr_cache)))
             db._csr_cache[ck] = out
         return out
+
+    def _csr_cache_key(self, db, undirected):
+        """Cache key for the staged CSR, or None when uncacheable.
+
+        Covers plain stored relations AND the proximity-graph shape
+        (`*rel:idx{layer: 0, fr_k, to_k}` named args): the 10M-node HNSW
+        layer-0 staging is ~330M edges of numpy work per call, and warm
+        PageRank/LabelPropagation re-paid it every run when only
+        FixedRuleRelArg was cacheable."""
+        if db is None or getattr(self.arg, "validity", None) is not None:
+            return None
+        if isinstance(self.arg, FixedRuleRelArg):
+            ver = db._rel_versions.get(self.arg.name, 0)
+            return (self.arg.name, ver, undirected, "csr")
+        if (
+            isinstance(self.arg, FixedRuleNamedRelArg)
+            and ":" in self.arg.name
+            and getattr(self.arg, "pins", None) == [("layer", 0)]
+        ):
+            base = self.arg.name.rsplit(":", 1)[0]
+            ver = (
+                db._rel_versions.get(self.arg.name, 0),
+                db._rel_versions.get(base, 0),
+            )
+            cols = tuple(c for c, _ in self.arg.pairs)
+            return (self.arg.name, cols, ver, undirected, "csr")
+        return None
 
     def _hnsw_layer0_fast(self):
         """Proximity-graph staging straight from the in-memory HNSW
@@ -231,28 +286,25 @@ class FixedInput:
             )
             pos[vert_slots] = np.arange(len(vert_slots), dtype=np.int64)
             src_a = pos[s_slots]
+            del s_slots
             dst_a = pos[d_slots]
+            del d_slots
             nv = len(vert_slots)
-            if undirected:
-                src_a, dst_a = (
-                    np.concatenate([src_a, dst_a]),
-                    np.concatenate([dst_a, src_a]),
-                )
-                order = np.argsort(src_a, kind="stable")
-                src_a, dst_a = src_a[order], dst_a[order]
+            # src_a is grouped ascending by construction (row-major
+            # nonzero over the neighbor matrix) — bincount, not
+            # np.add.at (which is ~50x slower at 330M edges)
+            out_deg = np.bincount(src_a, minlength=nv)
             indptr = np.zeros(nv + 1, dtype=np.int64)
-            np.add.at(indptr, src_a + 1, 1)
-            indptr = np.cumsum(indptr)
+            np.cumsum(out_deg, out=indptr[1:])
+            if undirected:
+                indptr, dst_a = _undirected_merge(
+                    indptr, src_a, dst_a, out_deg
+                )
             verts = ids[vert_slots]
             return indptr, dst_a, [int(v) for v in verts]
         fast = self._int_pairs_fast()
         if fast is not None:
             s_raw, d_raw = fast
-            if undirected:
-                s_raw, d_raw = (
-                    np.concatenate([s_raw, d_raw]),
-                    np.concatenate([d_raw, s_raw]),
-                )
             vert_arr, inv = np.unique(
                 np.concatenate([s_raw, d_raw]), return_inverse=True
             )
@@ -261,9 +313,15 @@ class FixedInput:
             order = np.argsort(src_a, kind="stable")
             src_a, dst_a = src_a[order], dst_a[order]
             n = len(vert_arr)
+            out_deg = np.bincount(src_a, minlength=n)
             indptr = np.zeros(n + 1, dtype=np.int64)
-            np.add.at(indptr, src_a + 1, 1)
-            indptr = np.cumsum(indptr)
+            np.cumsum(out_deg, out=indptr[1:])
+            if undirected:
+                # sort E directed edges, then O(E)-merge the reversed
+                # half — cheaper than the old concat + 2E stable argsort
+                indptr, dst_a = _undirected_merge(
+                    indptr, src_a, dst_a, out_deg
+                )
             return indptr, dst_a, [int(v) for v in vert_arr]
         rows = self.rows()
         verts: Dict[tuple, int] = {}

@@ -673,6 +673,11 @@ def compile_hnsw_search(db, atom, binding_map, ctx, handle, meta):
         def run(self, envs, ctx2, delta):
             if not envs:
                 return []
+            import os as _os
+            import time as _time
+
+            timing = _os.environ.get("COZO_TPU_SEARCH_TIMING") == "1"
+            t0 = _time.time()
             cache = get_hnsw_cache(db, ctx2.tx, handle, idx_name, meta)
             index = cache.index
             dt = index.dtype
@@ -688,16 +693,32 @@ def compile_hnsw_search(db, atom, binding_map, ctx, handle, meta):
                         f"HNSW query dim {len(qv)} != index dim {manifest['dim']}"
                     )
                 qs[i] = qv.a.astype(dt)
+            t_prep = _time.time()
             ids, dists = index.search(qs, int(k), int(ef))
+            if timing:
+                print(
+                    f"# hnsw_step B={len(envs)}: cache+prep "
+                    f"{t_prep - t0:.3f}s search "
+                    f"{_time.time() - t_prep:.3f}s",
+                    flush=True,
+                )
+                t0 = _time.time()
             out = []
             post = [(i, kv) for i, kv in enumerate(spec) if kv[0] in (CONST, BOUND)]
             fresh = [(i, p) for i, (kk, p) in enumerate(spec) if kk == FRESH]
             from ..data.value import value_eq
 
             if key_only:
-                return self._run_key_only(
+                res = self._run_key_only(
                     envs, ids, dists, cache, index, post, fresh, value_eq
                 )
+                if timing:
+                    print(
+                        f"# hnsw_step bind {_time.time() - t0:.3f}s "
+                        f"rows={len(res)}",
+                        flush=True,
+                    )
+                return res
             store_tx = ctx2.tx.store_tx_for(handle)
 
             # batch the base-row point lookups (one multi_get round trip;
