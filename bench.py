@@ -155,18 +155,21 @@ def main():
     # variance is real — VERDICT r2 weak #9): value = mean, and the
     # JSON reports qps_min / qps_median across reps.
     curve = []
-    # three lanes at the serving operating points: the int8-scored lane
+    # four lanes at the serving operating points: the fused Pallas lane
+    # (r5 — scoring + segment-top2 in one kernel, the [B, chunk] score
+    # slab never touches HBM; ops/pallas_sweep.py), the int8-scored lane
     # (r5 — int8 MXU MACs at 2x the bf16 rate + bf16 score slab, exact
     # f32 in-jit rerank), the bf16 lane (r4 headline), and the raw-bf16
     # mid-recall point.  The headline is picked DATA-DRIVEN below: the
     # fastest reranked lane holding recall@10 >= 0.999.
     for rt, mode, tag in (
+        (0.98, "fused", "fused+rerank"),
         (0.98, "i8", "i8+rerank"),
         (0.98, "bf16", "bf16+rerank"),
         (0.99, "raw", "bf16-raw"),
     ):
         rerank = mode != "raw"
-        cd = "i8" if mode == "i8" else "bf16"
+        cd = mode if mode in ("i8", "fused") else "bf16"
         ids, _ = sweep_search(index, qs, K, rt=rt, compute_dtype=cd,
                               exact_rerank=rerank)  # warm
         reps = 5

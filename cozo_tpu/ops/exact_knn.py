@@ -317,6 +317,11 @@ class SweepTable:
         self.tbl_i8 = None
         self.scale_i8 = None
         self.i8_version = -1
+        # fused Pallas lane (compute_dtype="fused"): flat bf16 table +
+        # finite-min bias, derived on device per version
+        self.tbl_fused = None
+        self.bias_fused = None
+        self.fused_version = -1
 
     # -- host-side row prep ---------------------------------------------------
 
@@ -411,7 +416,7 @@ class SweepTable:
 
         qdt = (
             np.float16
-            if compute_dtype in ("bf16", "i8")  # f32 mode stays bit-exact
+            if compute_dtype in ("bf16", "i8", "fused")  # f32 stays bit-exact
             and _os.environ.get("COZO_TPU_Q_F16", "1") == "1"
             else np.float32
         )
@@ -436,7 +441,37 @@ class SweepTable:
         # hnsw_knn returns true f32 distances, runtime/hnsw.rs:943-1006),
         # all in one relay round-trip
         rerank_k = min(k + 16, self.n_chunks * self.chunk) if exact_rerank else 0
-        if compute_dtype == "i8":
+        if compute_dtype == "fused":
+            # fused Pallas scoring + segment-top2 (ops/pallas_sweep.py):
+            # the score slab never touches HBM.  Always exact-reranked.
+            from . import pallas_sweep as _ps
+
+            n_total = self.n_chunks * self.chunk
+            if not _ps.supported(n_total, self.d_pad, B):
+                from ..utils import fallback as _fb
+
+                _fb.record(
+                    "sweep.fused",
+                    RuntimeError(
+                        f"shape unsupported (n={n_total} d_pad={self.d_pad})"
+                    ),
+                )
+                compute_dtype = "bf16"
+        if compute_dtype == "fused":
+            if self.fused_version != self.version or self.tbl_fused is None:
+                pfn = _ps._prep_fn(self.n_chunks, self.chunk, self.d_pad)
+                self.tbl_fused, self.bias_fused = pfn(self.tbl, self.bias)
+                self.fused_version = self.version
+            B_pad = ((B + _ps.B_TILE - 1) // _ps.B_TILE) * _ps.B_TILE
+            fn = _ps._serve_fn(
+                n_total, B_pad, k, max(rerank_k, k + 16), index.distance,
+                d, self.n_chunks, self.chunk, self.d_pad,
+            )
+            packed = np.asarray(fn(
+                self.tbl_fused, self.bias_fused, self.tbl, jnp.asarray(qp)
+            ))
+            exact_rerank = True
+        elif compute_dtype == "i8":
             # int8 lane (always exact-reranked): quantize-on-device copy
             if self.i8_version != self.version or self.tbl_i8 is None:
                 qfn = _quantize_tbl_fn(self.n_chunks, self.chunk, self.d_pad)
