@@ -161,8 +161,15 @@ def _serve_fn(n_total: int, B_pad: int, k: int, kf: int, metric: str,
     """End-to-end fused serving: pallas segment-top2 -> top_k over packed
     -> exact f32 re-rank — one jit, one relay round-trip, same packed
     int32 (ids | score bits) wire format as `exact_knn._sweep_fn`."""
+    import os as _os
+
     jax, jnp = _jx()
-    key = (n_total, B_pad, k, kf, metric, d_in)
+    # exact top_k over the [B, 2*segs] packed array by default;
+    # COZO_TPU_FUSED_TOPK=approx swaps in approx_max_k (PartialReduce is
+    # much cheaper at 10K+ columns; the exact rerank downstream absorbs
+    # the tiny selection slack) — measured on TPU, see BENCH_NOTES r5
+    approx_sel = _os.environ.get("COZO_TPU_FUSED_TOPK", "exact") == "approx"
+    key = (n_total, B_pad, k, kf, metric, d_in, approx_sel)
     fn = _SERVE_FNS.get(key)
     if fn is not None:
         return fn
@@ -177,7 +184,10 @@ def _serve_fn(n_total: int, B_pad: int, k: int, kf: int, metric: str,
         if B < B_pad:
             qs = jnp.pad(qs, ((0, B_pad - B), (0, 0)))
         packed = fused(tbl_flat, bias_flat, qs.astype(jnp.bfloat16))
-        vals, pos = jax.lax.top_k(packed, kf)
+        if approx_sel:
+            vals, pos = jax.lax.approx_max_k(packed, kf, recall_target=0.99)
+        else:
+            vals, pos = jax.lax.top_k(packed, kf)
         col = jax.lax.bitcast_convert_type(vals, jnp.int32) & (SEG - 1)
         rows_id = (pos >> 1) * SEG + col
         valid = vals > (NEG_FILL * 0.5)
