@@ -458,19 +458,35 @@ class SweepTable:
                 )
                 compute_dtype = "bf16"
         if compute_dtype == "fused":
-            if self.fused_version != self.version or self.tbl_fused is None:
-                pfn = _ps._prep_fn(self.n_chunks, self.chunk, self.d_pad)
-                self.tbl_fused, self.bias_fused = pfn(self.tbl, self.bias)
-                self.fused_version = self.version
-            B_pad = ((B + _ps.B_TILE - 1) // _ps.B_TILE) * _ps.B_TILE
-            fn = _ps._serve_fn(
-                n_total, B_pad, k, max(rerank_k, k + 16), index.distance,
-                d, self.n_chunks, self.chunk, self.d_pad,
-            )
-            packed = np.asarray(fn(
-                self.tbl_fused, self.bias_fused, self.tbl, jnp.asarray(qp)
-            ))
-            exact_rerank = True
+            try:
+                if self.fused_version != self.version or self.tbl_fused is None:
+                    pfn = _ps._prep_fn(self.n_chunks, self.chunk, self.d_pad)
+                    self.tbl_fused, self.bias_fused = pfn(self.tbl, self.bias)
+                    self.fused_version = self.version
+                B_pad = ((B + _ps.B_TILE - 1) // _ps.B_TILE) * _ps.B_TILE
+                fn = _ps._serve_fn(
+                    n_total, B_pad, k, max(rerank_k, k + 16), index.distance,
+                    d, self.n_chunks, self.chunk, self.d_pad,
+                )
+                packed = np.asarray(fn(
+                    self.tbl_fused, self.bias_fused, self.tbl, jnp.asarray(qp)
+                ))
+                exact_rerank = True
+            except Exception as e:  # compile/launch failure → bf16 lane
+                # (the r5 kernel's first real-shape compile OOMed scoped
+                # vmem and killed the whole bench; a serving path must
+                # degrade, not die)
+                from ..utils import fallback as _fb
+
+                _fb.record("sweep.fused", e)
+                self.tbl_fused = self.bias_fused = None
+                compute_dtype = "bf16"
+                fn = _sweep_fn(
+                    self.n_chunks, self.chunk, self.d_pad, k, rt,
+                    compute_dtype, rerank_k=rerank_k,
+                    metric=index.distance, d_in=d,
+                )
+                packed = np.asarray(fn(self.tbl, self.bias, jnp.asarray(qp)))
         elif compute_dtype == "i8":
             # int8 lane (always exact-reranked): quantize-on-device copy
             if self.i8_version != self.version or self.tbl_i8 is None:

@@ -126,6 +126,14 @@ def _fused_fn(n_total: int, B_pad: int):
         return pl.pallas_call(
             _kernel,
             grid=(n_i, n_j),
+            # the unrolled 16-subtile inner loop keeps several [B_TILE,
+            # _SUB] f32 temporaries live at once — the default 16M scoped
+            # vmem budget rejects the kernel at B_pad=4096 (measured:
+            # 40.7M requested).  v5e has 128M VMEM; grant what it needs.
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
             in_specs=[
                 pl.BlockSpec((B_TILE, 128), lambda i, j: (i, 0),
                              memory_space=pltpu.VMEM),
