@@ -172,11 +172,16 @@ def _serve_fn(n_total: int, B_pad: int, k: int, kf: int, metric: str,
     import os as _os
 
     jax, jnp = _jx()
-    # exact top_k over the [B, 2*segs] packed array by default;
-    # COZO_TPU_FUSED_TOPK=approx swaps in approx_max_k (PartialReduce is
-    # much cheaper at 10K+ columns; the exact rerank downstream absorbs
-    # the tiny selection slack) — measured on TPU, see BENCH_NOTES r5
-    approx_sel = _os.environ.get("COZO_TPU_FUSED_TOPK", "exact") == "approx"
+    # selection over the [B, 2*segs] packed array: exact top_k for narrow
+    # packed widths, approx_max_k (PartialReduce) once it is wide — the
+    # XLA exact-sort lowering goes compile-pathological on wide arrays
+    # (measured: 939s at 78,848 cols in the int8 sweep, and the fused
+    # lane's first bench compile at 10,240 cols blew the 10-min budget),
+    # while the exact f32 re-rank downstream absorbs the selection slack.
+    # COZO_TPU_FUSED_TOPK=exact|approx overrides.
+    out_w = 2 * (n_total // SEG)
+    default = "approx" if out_w > 4096 else "exact"
+    approx_sel = _os.environ.get("COZO_TPU_FUSED_TOPK", default) == "approx"
     key = (n_total, B_pad, k, kf, metric, d_in, approx_sel)
     fn = _SERVE_FNS.get(key)
     if fn is not None:
