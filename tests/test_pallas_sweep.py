@@ -125,6 +125,34 @@ def test_serve_fn_end_to_end_unpadded_batch():
     assert np.allclose(sc, best, rtol=1e-5, atol=1e-5)
 
 
+def test_fused_compile_failure_degrades_to_bf16(monkeypatch):
+    """A Mosaic compile/launch failure inside the fused lane must degrade
+    to the bf16 sweep with a loud fallback record, not kill the caller
+    (the r5 bench died on a scoped-vmem compile OOM before this guard)."""
+    from jax.experimental import pallas as pl
+
+    from cozo_tpu.models.hnsw_index import HnswIndex
+    from cozo_tpu.ops.exact_knn import sweep_search
+    from cozo_tpu.utils import fallback
+
+    def boom(*a, **kw):
+        raise RuntimeError("synthetic Mosaic compile failure")
+
+    monkeypatch.setattr(pl, "pallas_call", boom)
+    ps._FUSED_FNS.clear()
+    ps._SERVE_FNS.clear()
+
+    rng = np.random.default_rng(2)
+    data = rng.normal(size=(16_384, 100)).astype(np.float32)
+    idx = HnswIndex(dim=100, m=8, ef_construction=50, distance="Cosine")
+    idx.bulk_build(data, wave=4096)
+    before = dict(fallback.counts())
+    ids, d = sweep_search(idx, data[:64], 10, compute_dtype="fused")
+    assert float(np.mean(ids[:, 0] == np.arange(64))) == 1.0
+    after = fallback.counts()
+    assert after.get("sweep.fused", 0) > before.get("sweep.fused", 0)
+
+
 def test_sweep_table_fused_lane():
     """compute_dtype="fused" through the public sweep_search surface,
     including the unsupported-shape fallback to bf16."""
