@@ -164,6 +164,19 @@ def main():
     el = time.time() - t0
     emit("hnsw_ddl_bulk_build", el, n=n, rows_per_s=round(n / el))
 
+    # release fragmented allocator arenas from ingest/build back to the
+    # kernel: the join phases run at ~125GB RSS otherwise and the engine
+    # path pays ~1s of pure memory-pressure overhead (r5 timing)
+    import ctypes
+    import gc as _gc
+
+    _gc.collect()
+    try:
+        ctypes.CDLL("libc.so.6").malloc_trim(0)
+    except OSError:
+        pass
+    emit("malloc_trim", 0.0)
+
     # confirm the packed image actually engaged at this scale
     tx = db._new_session(False, 0)
     packed = tx.get_relation("item:ix").packed_src is not None

@@ -298,7 +298,10 @@ def _band_fold(sigs: np.ndarray, n_bands: int, rpb: int) -> np.ndarray:
     key iff the band's uint32 rows are equal, up to a 2^-64 collision —
     the same equivalence the KV layout's byte-exact band keys encode)."""
     n = len(sigs)
-    x = sigs.reshape(n, n_bands, rpb).astype(np.uint64)
+    # auto-tuned params may leave n_bands*rpb < n_perm (e.g. 14x9=126 of
+    # 128 perms at threshold 0.7): the KV path bands over the first
+    # n_bands*rpb rows, so the fold must match exactly
+    x = sigs[:, : n_bands * rpb].reshape(n, n_bands, rpb).astype(np.uint64)
     h = np.full((n, n_bands), 0xCBF29CE484222325, dtype=np.uint64)
     p = np.uint64(0x100000001B3)
     for j in range(rpb):

@@ -283,3 +283,45 @@ def test_lsh_bulk_backfill_matches_incremental(db):
         "bind_similarity: s}"
     )
     assert [999, 1.0] in res.rows  # exact self-match via the incremental path
+
+
+def test_lsh_serving_image_nondividing_band_params(db):
+    """n_perm=128 at threshold 0.7 auto-tunes to 14 bands x 9 rows = 126
+    of 128 perms; the vectorized serving image must band over the same
+    first n_bands*rpb signature rows as the KV path instead of failing
+    the reshape and silently degrading (r5 regression: every 1M-doc
+    query fell back to the single-core KV probe)."""
+    import numpy as np
+
+    from cozo_tpu.ops.minhash import band_keys, find_optimal_params
+    from cozo_tpu.runtime.minhash_lsh import _band_fold
+    from cozo_tpu.utils import fallback
+
+    n_bands, rpb = find_optimal_params(0.7, 128, 0.5, 0.5)
+    assert n_bands * rpb < 128  # the shape that used to crash
+    sigs = np.random.default_rng(0).integers(
+        0, 1 << 32, size=(64, 128), dtype=np.uint64
+    ).astype(np.uint32)
+    folded = _band_fold(sigs, n_bands, rpb)
+    assert folded.shape == (64, n_bands)
+    # fold equivalence with the KV band keys: equal band bytes <-> equal
+    # band hash (sigs 0 and 1 made identical in band 3)
+    sigs[1, 3 * rpb : 4 * rpb] = sigs[0, 3 * rpb : 4 * rpb]
+    f2 = _band_fold(sigs, n_bands, rpb)
+    kv0 = band_keys(sigs[0], n_bands, rpb)
+    kv1 = band_keys(sigs[1], n_bands, rpb)
+    for b in range(n_bands):
+        assert (kv0[b] == kv1[b]) == (f2[0, b] == f2[1, b])
+
+    seed_docs(db)
+    db.run_script(
+        "::lsh create docs:lsh {extractor: body, tokenizer: Simple, "
+        "filters: [Lowercase], n_perm: 128, target_threshold: 0.7, n_gram: 1}"
+    )
+    before = fallback.counts().get("lsh.serving_image", 0)
+    res = db.run_script(
+        "?[id] := ~docs:lsh{id | query: 'The quick brown fox jumps over "
+        "the lazy dog', k: 3}"
+    )
+    assert 1 in [r[0] for r in res.rows]
+    assert fallback.counts().get("lsh.serving_image", 0) == before
