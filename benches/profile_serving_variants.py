@@ -51,11 +51,11 @@ def main():
     from cozo_tpu.ops import exact_knn as EK
 
     gt_fn = EK._sweep_fn(n_chunks, chunk, d_pad, K, 1.0, "f32",
-                         rerank_k=0, metric="IP", d_in=D)
+                         rerank_k=0, metric="IP", d_in=0)  # qp pre-padded
     gt = np.asarray(gt_fn(tbl, biasd, qd))[:, :K]
     print("# GT done", flush=True)
 
-    def mk(variant):
+    def mk(variant, rt=0.98, kf=KF):
         @jax.jit
         def run(tbl, bias, qs_in):
             qs_ = jnp.pad(qs_in.astype(jnp.float32), ((0, 0), (0, 0)))
@@ -72,7 +72,7 @@ def main():
                     s = s.astype(jnp.bfloat16)
                 agg = variant == "D"
                 nd, ni = jax.lax.approx_max_k(
-                    s, KF, recall_target=0.98, aggregate_to_topk=agg
+                    s, kf, recall_target=rt, aggregate_to_topk=agg
                 )
                 return None, (nd, ni)
 
@@ -83,11 +83,11 @@ def main():
             ]
             alld = jnp.moveaxis(nds, 0, 1).reshape(B, n_chunks * w)
             alli = (jnp.moveaxis(nis, 0, 1) + offs).reshape(B, n_chunks * w)
-            if variant == "A":
-                bs, sel = jax.lax.top_k(alld, KF)
+            if variant in ("A", "E"):
+                bs, sel = jax.lax.top_k(alld, kf)
             else:
                 bs, sel = jax.lax.approx_max_k(
-                    alld.astype(jnp.float32), KF, recall_target=0.99,
+                    alld.astype(jnp.float32), kf, recall_target=0.99,
                     aggregate_to_topk=True,
                 )
             bi = jnp.take_along_axis(alli, sel, axis=1)
@@ -109,11 +109,16 @@ def main():
 
         return run
 
-    for v in ("A", "B", "C", "D"):
-        fn = mk(v)
+    cases = [
+        ("A", 0.98, KF), ("E", 0.97, KF), ("E", 0.95, 40), ("E", 0.95, KF),
+        ("A", 0.98, KF),
+    ]
+    for v, rt, kf in cases:
+        fn = mk(v, rt, kf)
+        tag = f"{v} rt={rt} kf={kf}"
         t0 = time.time()
         out = np.asarray(fn(tbl, biasd, qd))
-        print(f"{v}: compile+first {time.time()-t0:.1f}s", flush=True)
+        print(f"{tag}: compile+first {time.time()-t0:.1f}s", flush=True)
         reps = []
         for _ in range(5):
             t0 = time.time()
@@ -125,7 +130,7 @@ def main():
             len(set(ids[i].tolist()) & set(gt[i].tolist())) / K
             for i in range(B)
         ])
-        print(f"{v}: median {el*1000:.1f}ms -> {B/el:,.0f} QPS "
+        print(f"{tag}: median {el*1000:.1f}ms -> {B/el:,.0f} QPS "
               f"recall@10={rec:.4f} reps_ms="
               f"{[round(r*1000,1) for r in reps]}", flush=True)
 

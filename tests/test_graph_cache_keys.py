@@ -89,3 +89,59 @@ def test_sssp_disk_cache_roundtrip(tmp_path, monkeypatch):
     d4, _ = ga.sssp_device(indptr, dst, w2, [0], cache_key=ck)
     np.testing.assert_allclose(d3, d4)
     assert not np.allclose(d1[0], d3[0])
+
+
+def test_sssp_reuses_pagerank_device_source_array(capsys, monkeypatch):
+    """PageRank publishes its dst-sorted source array under a "srcdev"
+    device-cache key; a following SSSP over the same graph must pack its
+    ELL image from that on-device alias (no host rebuild / relay upload)
+    and still produce exact Dijkstra distances.
+
+    The alias only engages when PageRank's and SSSP's edge paddings
+    collapse to the same granule (pow2(e)//16 past ~131K edges), so the
+    graph here carries ~140K edges.
+    """
+    import heapq
+
+    from cozo_tpu.ops.graph_algos import (
+        graph_content_key, pagerank_jax, sssp_device,
+    )
+
+    rng = np.random.default_rng(7)
+    n, deg = 2000, 70
+    src = np.repeat(np.arange(n, dtype=np.int64), deg)
+    dst = rng.integers(0, n, len(src))
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    w = rng.uniform(0.5, 4.0, len(src)).astype(np.float32)
+    order = np.argsort(src, kind="stable")
+    src, dst, w = src[order], dst[order], w[order]
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.add.at(indptr, src + 1, 1)
+    indptr = np.cumsum(indptr)
+
+    ck = graph_content_key(indptr, dst)
+    pagerank_jax(indptr, dst, iterations=3, cache_key=ck)
+
+    monkeypatch.setenv("COZO_TPU_SSSP_LOG", "1")
+    dists, _ = sssp_device(indptr, dst, w, [0], cache_key=ck)
+    out = capsys.readouterr().out
+    assert "src=dev-alias" in out, out
+
+    ref = np.full(n, np.inf)
+    ref[0] = 0.0
+    adj = [[] for _ in range(n)]
+    for s, d, ww in zip(src, dst, w):
+        adj[s].append((int(d), float(ww)))
+    pq = [(0.0, 0)]
+    while pq:
+        du, u = heapq.heappop(pq)
+        if du > ref[u]:
+            continue
+        for v, ww in adj[u]:
+            nd = du + ww
+            if nd < ref[v] - 1e-9:
+                ref[v] = nd
+                heapq.heappush(pq, (nd, v))
+    finite = np.isfinite(ref)
+    assert np.allclose(dists[0][:n][finite], ref[finite], atol=1e-4)
