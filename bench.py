@@ -100,7 +100,12 @@ def _await_device(seconds: float):
 
 
 def _jax_cache_entries():
-    d = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    # same resolution as utils/jax_setup.py so the count tracks the dir
+    # actually in use (COZO_TPU_JAX_CACHE overrides for cache curation)
+    d = os.environ.get(
+        "COZO_TPU_JAX_CACHE",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
     try:
         return sum(1 for _ in os.scandir(d))
     except OSError:

@@ -401,6 +401,7 @@ class SweepTable:
         rt: float = 0.98,
         compute_dtype: str = "bf16",
         exact_rerank: bool = True,
+        rerank_k: Optional[int] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         jax, jnp = _jx()
         self.refresh(index)
@@ -440,7 +441,15 @@ class SweepTable:
         # inside the candidate set AND makes bind_distance exact (reference
         # hnsw_knn returns true f32 distances, runtime/hnsw.rs:943-1006),
         # all in one relay round-trip
-        rerank_k = min(k + 16, self.n_chunks * self.chunk) if exact_rerank else 0
+        # overfetch width: k+16 covers bf16 rank noise at the 0.999
+        # operating point; the noisier int8 lane needs more (callers pass
+        # rerank_k explicitly — the cost is one slightly wider gather+
+        # einsum against a 1.18M-row matmul, i.e. ~free)
+        rerank_k = (
+            min(max(rerank_k or 0, k + 16), self.n_chunks * self.chunk)
+            if exact_rerank
+            else 0
+        )
         if compute_dtype == "fused":
             # fused Pallas scoring + segment-top2 (ops/pallas_sweep.py):
             # the score slab never touches HBM.  Always exact-reranked.
@@ -529,7 +538,7 @@ class SweepTable:
 
 
 def sweep_search(index, qs, k, rt: float = 0.98, compute_dtype: str = "bf16",
-                 exact_rerank: bool = True):
+                 exact_rerank: bool = True, rerank_k: Optional[int] = None):
     """Module-level entry: per-index cached SweepTable."""
     st = getattr(index, "_sweep_table", None)
     if st is None:
@@ -537,5 +546,5 @@ def sweep_search(index, qs, k, rt: float = 0.98, compute_dtype: str = "bf16",
         index._sweep_table = st
     return st.search(
         index, qs, k, rt=rt, compute_dtype=compute_dtype,
-        exact_rerank=exact_rerank,
+        exact_rerank=exact_rerank, rerank_k=rerank_k,
     )

@@ -686,6 +686,49 @@ def _sssp_compiled_ell(n_pad: int, max_iters: int, p_layout, R_pad: int):
     return run
 
 
+_SSSP_EXEC_CACHE = {}
+
+
+def _sssp_prefetch_exec(shapes_key, S, n_pad, max_iters, p_layout, R_pad,
+                        nd_sd, l2_sds, np_sd):
+    """AOT-load the ELL solve executable in a background thread.
+
+    With the persistent compile cache warm, `.compile()` is a pure
+    deserialize + device program load (~10s at 69M edges through the
+    axon relay) — starting it when the layout is known lets it overlap
+    the device pack pass instead of serializing after it (measured: the
+    first solve call costs 20.9s vs 10.1s warm; the 10.8s delta is this
+    load).  The call site joins the thread and calls the compiled object
+    directly, which also makes the in-process warm call skip the jit
+    dispatch-cache's own reload."""
+    jax, jnp = _jax()
+    import threading
+
+    box = {}
+
+    def work():
+        try:
+            fn = _SSSP_CACHE.get(shapes_key)
+            if fn is None:
+                fn = _sssp_compiled_ell(n_pad, max_iters, p_layout, R_pad)
+                _SSSP_CACHE[shapes_key] = fn
+            P = sum(cap * rows_p for _, cap, rows_p in p_layout)
+            av = jax.ShapeDtypeStruct
+            box["exec"] = fn.lower(
+                av((P,), np.int32), av((P,), np.float32),
+                av(*nd_sd),
+                tuple(av(s, d) for s, d in l2_sds),
+                av(*np_sd),
+                av((S, n_pad), np.float32),
+            ).compile()
+        except Exception:
+            pass
+
+    th = threading.Thread(target=work, daemon=True)
+    th.start()
+    return th, box
+
+
 def sssp_device(indptr, dst, w, sources, max_iters: int = 512, cache_key=None):
     """Batched SSSP over CSR; returns (dist [S, n], parent [S, n]) numpy.
 
@@ -714,6 +757,8 @@ def sssp_device(indptr, dst, w, sources, max_iters: int = 512, cache_key=None):
             else (cache_key, w_digest)
         ) if cache_key else None
         staged = _GRAPH_DEV_CACHE.get(("sssp4", dk)) if dk else None
+        prefetch = None
+        S = len(sources)
         if staged is None:
             gran = max(_ELL_LANE, _pad_pow2(max(e, 1)) // 16)
             e_pad = ((max(e, 1) + gran - 1) // gran) * gran
@@ -746,6 +791,17 @@ def sssp_device(indptr, dst, w, sources, max_iters: int = 512, cache_key=None):
                     tuple(int(x) for x in row) for row in loaded["p_layout"]
                 )
                 R_pad = int(loaded["R_pad"])
+                nd_h = loaded["nd_flat"]
+                l2_h = [loaded[f"l2_{i}"] for i in range(int(loaded["n_l2"]))]
+                np_h = loaded["node_pos"]
+                prefetch = _sssp_prefetch_exec(
+                    (n_pad, max_iters, p_layout,
+                     tuple(a.shape for a in l2_h), R_pad),
+                    S, n_pad, max_iters, p_layout, R_pad,
+                    (nd_h.shape, nd_h.dtype),
+                    [(a.shape, a.dtype) for a in l2_h],
+                    (np_h.shape, np_h.dtype),
+                )
                 flat_src = jnp.asarray(loaded["flat_src"])
                 if uniform:
                     flat_w = jnp.where(
@@ -755,12 +811,9 @@ def sssp_device(indptr, dst, w, sources, max_iters: int = 512, cache_key=None):
                 else:
                     flat_w = jnp.asarray(loaded["flat_w"])
                 staged = (
-                    flat_src, flat_w, jnp.asarray(loaded["nd_flat"]),
-                    tuple(
-                        jnp.asarray(loaded[f"l2_{i}"])
-                        for i in range(int(loaded["n_l2"]))
-                    ),
-                    jnp.asarray(loaded["node_pos"]), p_layout, R_pad,
+                    flat_src, flat_w, jnp.asarray(nd_h),
+                    tuple(jnp.asarray(a) for a in l2_h),
+                    jnp.asarray(np_h), p_layout, R_pad,
                 )
                 if log:
                     print(
@@ -778,6 +831,14 @@ def sssp_device(indptr, dst, w, sources, max_iters: int = 512, cache_key=None):
                     layout, p_layout, rs_flat, rl_flat, nd_flat, R_pad,
                     l2_host, node_pos_h,
                 ) = _stage_sssp_ell_meta(deg, n_pad, e_pad)
+                prefetch = _sssp_prefetch_exec(
+                    (n_pad, max_iters, p_layout,
+                     tuple(a.shape for a in l2_host), R_pad),
+                    S, n_pad, max_iters, p_layout, R_pad,
+                    (nd_flat.shape, nd_flat.dtype),
+                    [(a.shape, a.dtype) for a in l2_host],
+                    (node_pos_h.shape, node_pos_h.dtype),
+                )
                 t_meta = _time.time()
                 from cozo_tpu.utils.graph_stage import gather_f32
 
@@ -855,14 +916,27 @@ def sssp_device(indptr, dst, w, sources, max_iters: int = 512, cache_key=None):
         shapes_key = (
             n_pad, max_iters, p_layout, tuple(a.shape for a in l2), R_pad,
         )
-        fn = _SSSP_CACHE.get(shapes_key)
-        if fn is None:
-            fn = _sssp_compiled_ell(n_pad, max_iters, p_layout, R_pad)
-            _SSSP_CACHE[shapes_key] = fn
+        if prefetch is not None:
+            th, box = prefetch
+            th.join()
+            if box.get("exec") is not None:
+                if len(_SSSP_EXEC_CACHE) > 8:
+                    _SSSP_EXEC_CACHE.pop(next(iter(_SSSP_EXEC_CACHE)))
+                _SSSP_EXEC_CACHE[(shapes_key, S)] = box["exec"]
+        comp = _SSSP_EXEC_CACHE.get((shapes_key, S))
         t1 = _time.time()
-        dist, parent, iters = fn(
-            flat_src, flat_w, nd_dev, l2, node_pos, jnp.asarray(dist0)
-        )
+        if comp is not None:
+            dist, parent, iters = comp(
+                flat_src, flat_w, nd_dev, l2, node_pos, jnp.asarray(dist0)
+            )
+        else:
+            fn = _SSSP_CACHE.get(shapes_key)
+            if fn is None:
+                fn = _sssp_compiled_ell(n_pad, max_iters, p_layout, R_pad)
+                _SSSP_CACHE[shapes_key] = fn
+            dist, parent, iters = fn(
+                flat_src, flat_w, nd_dev, l2, node_pos, jnp.asarray(dist0)
+            )
         out = (
             np.asarray(dist)[:, :n].astype(np.float64),
             np.asarray(parent)[:, :n].astype(np.int64),
