@@ -16,7 +16,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-N, D, NQ, K = 1_183_514, 100, 8192, 10
+N, D, NQ, K = 1_183_514, 100, int(os.environ.get("COZO_PROF_NQ", 8192)), 10
 
 
 class VecOnlyIndex:
@@ -44,12 +44,12 @@ def main():
     print(f"datagen {time.time()-t0:.0f}s", flush=True)
     index = VecOnlyIndex(data)
 
-    qs = qs_all[:4096]
+    # recall is estimated on the first NQ_GT queries (sample error
+    # ~1e-4 at 16K queries); QPS is measured at the full batch width
+    NQ_GT = min(NQ, int(os.environ.get("COZO_PROF_NQ_GT", 16384)))
     t0 = time.time()
-    gt_ids, _ = sweep_search(index, qs, K, rt=1.0, compute_dtype="f32",
-                             exact_rerank=False)
-    gt8_ids, _ = sweep_search(index, qs_all, K, rt=1.0, compute_dtype="f32",
-                              exact_rerank=False)
+    gt8_ids, _ = sweep_search(index, qs_all[:NQ_GT], K, rt=1.0,
+                              compute_dtype="f32", exact_rerank=False)
     print(f"gt {time.time()-t0:.0f}s", flush=True)
 
     def recall(ids, gt):
@@ -58,22 +58,30 @@ def main():
             for b in range(len(gt))
         ]))
 
-    configs = [
-        ("bf16 rt.98 rk26  B4096", "bf16", 0.98, None, 4096),
-        ("i8   rt.98 rk26  B4096", "i8", 0.98, None, 4096),
-        ("i8   rt.98 rk64  B4096", "i8", 0.98, 64, 4096),
-        ("i8   rt.99 rk64  B4096", "i8", 0.99, 64, 4096),
-        ("i8   rt.99 rk128 B4096", "i8", 0.99, 128, 4096),
-        ("i8   rt.995 rk128 B4096", "i8", 0.995, 128, 4096),
-        ("bf16 rt.98 rk26  B8192", "bf16", 0.98, None, 8192),
-        ("i8   rt.99 rk128 B8192", "i8", 0.99, 128, 8192),
-    ]
-    for tag, cd, rt, rk, B in configs:
+    import json as _json
+
+    cfg_env = os.environ.get("COZO_PROF_CONFIGS")
+    if cfg_env:
+        configs = [tuple(c) for c in _json.loads(cfg_env)]
+    else:
+        configs = [
+            ("bf16 rt.98 rk26  B4096", "bf16", 0.98, None, 4096),
+            ("i8   rt.98 rk26  B4096", "i8", 0.98, None, 4096),
+            ("i8   rt.98 rk64  B4096", "i8", 0.98, 64, 4096),
+            ("i8   rt.99 rk64  B4096", "i8", 0.99, 64, 4096),
+            ("i8   rt.99 rk128 B4096", "i8", 0.99, 128, 4096),
+            ("i8   rt.995 rk128 B4096", "i8", 0.995, 128, 4096),
+            ("bf16 rt.98 rk26  B8192", "bf16", 0.98, None, 8192),
+            ("i8   rt.99 rk128 B8192", "i8", 0.99, 128, 8192),
+        ]
+    for tag, mode, rt, rk, B in configs:
         q = qs_all[:B]
-        gt = gt_ids if B == 4096 else gt8_ids[:B]
+        gt = gt8_ids[: min(B, NQ_GT)]
+        rerank = mode != "raw"
+        cd = mode if mode in ("i8", "fused") else "bf16"
         try:
             ids, _ = sweep_search(index, q, K, rt=rt, compute_dtype=cd,
-                                  rerank_k=rk)  # warm/compile
+                                  exact_rerank=rerank, rerank_k=rk)
         except Exception as e:
             print(f"{tag}: FAILED {type(e).__name__}: {e}", flush=True)
             continue
@@ -81,7 +89,7 @@ def main():
         for _ in range(3):
             t0 = time.time()
             ids, _ = sweep_search(index, q, K, rt=rt, compute_dtype=cd,
-                                  rerank_k=rk)
+                                  exact_rerank=rerank, rerank_k=rk)
             per.append(B / (time.time() - t0))
         r = recall(ids, gt)
         print(

@@ -99,3 +99,25 @@ def test_search_dispatches_to_sweep():
         len(set(ids[b].tolist()) & set(gt_ids[b].tolist())) / k for b in range(B)
     ])
     assert rec > 0.97, f"dispatched sweep recall {rec}"
+
+
+def test_rerank_k_override_matches_default():
+    """A wider exact-rerank overfetch (bench's i8 lane uses 64) must not
+    change the returned top-k on an easy table, for every lane."""
+    rng = np.random.default_rng(11)
+    n, d, B, k = 5_000, 16, 64, 5
+    data = rng.standard_normal((n, d)).astype(np.float32)
+    idx = HnswIndex(dim=d, m=8, ef_construction=50, distance="Cosine")
+    idx.bulk_build(data, wave=2048)
+    qs = data[:B] + 1e-3 * rng.standard_normal((B, d)).astype(np.float32)
+    base, bd = sweep_search(idx, qs, k, rt=1.0, compute_dtype="f32")
+    for cd in ("bf16", "i8"):
+        wide, wd = sweep_search(idx, qs, k, rt=1.0, compute_dtype=cd,
+                                rerank_k=64)
+        agree = np.mean([
+            len(set(wide[b].tolist()) & set(base[b].tolist())) / k
+            for b in range(B)
+        ])
+        assert agree > 0.95, f"{cd} rerank_k=64 agreement {agree}"
+        # rerank distances are exact f32: self-queries land near 0
+        assert np.isfinite(wd[np.asarray(wide) >= 0]).all()
