@@ -503,7 +503,13 @@ class CompiledClause:
             if not envs:
                 return []
         hp = self.head_pos
-        return [tuple(env[p] for p in hp) for env in envs]
+        if hp == list(range(len(envs[0]))):
+            return envs  # identity projection: envs are already tuples
+        if len(hp) > 1:
+            from operator import itemgetter
+
+            return list(map(itemgetter(*hp), envs))
+        return [(env[hp[0]],) for env in envs]
 
 
 def compile_clause(
