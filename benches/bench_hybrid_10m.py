@@ -175,7 +175,12 @@ def main():
         ctypes.CDLL("libc.so.6").malloc_trim(0)
     except OSError:
         pass
-    emit("malloc_trim", 0.0)
+    # freeze the resident 10M-row heap out of the cyclic collector: the
+    # join's ~1M transient envs/rows per rep trigger young-gen GC passes
+    # whose full-heap sweeps otherwise cost >1s/rep at this scale (the
+    # r5b run's 975-2072 QPS rep spread; see _GcEvalTimer in runtime/db.py)
+    _gc.freeze()
+    emit("malloc_trim", 0.0, gc_frozen=_gc.get_freeze_count())
 
     # confirm the packed image actually engaged at this scale
     tx = db._new_session(False, 0)
@@ -199,10 +204,10 @@ def main():
     out = db.run_script(join)  # cold (compile + device staging)
     emit("vector_pivot_join_cold", time.time() - t0, queries=NQ,
          rows=len(out.rows))
-    # 3 warm reps: the relay's run-to-run weather is ±15%+; report the
+    # 5 warm reps: the relay's run-to-run weather is ±15%+; report the
     # median as the headline (per-rep values stay in the artifact)
     reps = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.time()
         out = db.run_script(join)
         reps.append(time.time() - t0)
@@ -217,7 +222,7 @@ def main():
     os.environ["COZO_TPU_QUANT_OVERFETCH"] = "2"
     reps2 = []
     out2q = None
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.time()
         out2q = db.run_script(join)
         reps2.append(time.time() - t0)

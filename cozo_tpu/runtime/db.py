@@ -37,6 +37,61 @@ from .relation import ACCESS_LEVELS, Catalog, RelationHandle, rel_prefix, rel_up
 from .transact import SessionTx
 
 
+class _GcEvalTimer:
+    """Attributes a query's wall time to GC pauses (COZO_TPU_EVAL_TIMING=1).
+
+    CPython's cyclic collector walks every tracked container; with a
+    10M-row mem relation resident the young-gen passes triggered by the
+    ~1M transient env/row objects of a large set-at-a-time query add up
+    to whole seconds per query (measured on BASELINE config #5).  The
+    timer hooks gc.callbacks for the duration of one query and prints
+    one line: eval wall, sort wall, GC pause total / pass count / gen2
+    count — enough to separate engine work from collector stalls."""
+
+    def __init__(self) -> None:
+        import gc
+
+        self._gc = gc
+        self._t0 = 0.0
+        self.pause = 0.0
+        self.passes = 0
+        self.gen2 = 0
+        gc.callbacks.append(self._cb)
+
+    def _cb(self, phase, info) -> None:
+        if phase == "start":
+            self._t0 = _time.time()
+        else:
+            self.pause += _time.time() - self._t0
+            self.passes += 1
+            if info.get("generation") == 2:
+                self.gen2 += 1
+
+    def report(self, t_eval: float, t_sort) -> None:
+        try:
+            self._gc.callbacks.remove(self._cb)
+        except ValueError:
+            pass
+        import sys
+
+        print(
+            f"# eval_timing eval {t_eval:.3f}s sort "
+            f"{(t_sort if t_sort is not None else 0.0):.3f}s gc_pause "
+            f"{self.pause:.3f}s passes {self.passes} gen2 {self.gen2} "
+            f"frozen {self._gc.get_freeze_count()}",
+            file=sys.stderr,
+            flush=True,
+        )
+
+
+def _gc_timer_if_enabled():
+    import os
+
+    if os.environ.get("COZO_TPU_EVAL_TIMING") != "1":
+        return None
+    return _GcEvalTimer()
+
+
 def _sort_value_order(rows: list) -> list:
     """Sort result rows by value order (cmp_key).  Fast path: when every
     column is uniformly plain int or finite float (no -0.0), numeric
@@ -449,8 +504,12 @@ class Db:
                 and opts.store_relation is None
             ):
                 limit_hint = opts.limit + (opts.offset or 0)
+            gct = _gc_timer_if_enabled()
+            t_eval = _time.time()
             evaluate_strata(strata, ctx, limit_hint)
+            t_eval = _time.time() - t_eval
             store = ctx.stores["?"]
+            t_sort = None
             if limit_hint is not None and not store.presorted:
                 # reference QueryLimiter semantics (query/eval.rs:33-62):
                 # without :order, evaluation stops after limit+offset
@@ -464,10 +523,14 @@ class Db:
             elif store.presorted:
                 rows = list(store.total.values())
             else:
+                t_sort = _time.time()
                 rows = _sort_value_order(
                     [list(r) for r in store.total.values()]
                 )
+                t_sort = _time.time() - t_sort
             headers = self._entry_headers(prog)
+            if gct is not None:
+                gct.report(t_eval, t_sort)
 
         return self._query_epilogue(
             tx, prog, rows, headers, cur_vld, callback_targets,
