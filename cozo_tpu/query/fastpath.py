@@ -458,17 +458,21 @@ def _try_bulk_vector_put(handle, key_ex, val_ex, raw_rows, arity, tx):
     valb[:, 2:6] = np.frombuffer(
         d.to_bytes(4, "big"), dtype=np.uint8
     )
+    # order-bit transform (sign set -> ~u, clear -> u|MSB) with one
+    # temporary and in-place or/xor/byteswap: flip = asr(u, w-1) | MSB,
+    # out = u ^ flip.  The np.where form (5 temporaries over a [n, d]
+    # slab) was 60% of bulk-ingest CPU at 768-d.
     if f32:
         u = vecs.view(np.uint32)
-        obv = np.where(
-            u & np.uint32(1 << 31), ~u, u | np.uint32(1 << 31)
-        ).astype(">u4")
+        f = (u.view(np.int32) >> np.int32(31)).view(np.uint32)
+        np.bitwise_or(f, np.uint32(1 << 31), out=f)
     else:
         u = vecs.view(np.uint64)
-        obv = np.where(
-            u & np.uint64(1 << 63), ~u, u | np.uint64(1 << 63)
-        ).astype(">u8")
-    valb[:, 6:] = obv.view(np.uint8).reshape(n, d * esz)
+        f = (u.view(np.int64) >> np.int64(63)).view(np.uint64)
+        np.bitwise_or(f, np.uint64(1 << 63), out=f)
+    np.bitwise_xor(u, f, out=f)
+    f.byteswap(inplace=True)  # big-endian byte order, lexicographic = value
+    valb[:, 6:] = f.view(np.uint8).reshape(n, d * esz)
 
     # set-semantics dedup: duplicate KEYS are rare in bulk loads, so
     # dedup on the 26-byte keys first; only actual duplicates pay a
