@@ -264,7 +264,21 @@ def quant_search(vectors: np.ndarray, table: QuantSweepTable, qs: np.ndarray,
         qn = np.linalg.norm(q, axis=1, keepdims=True)
         q = q / np.where(qn > 0, qn, 1.0)
     safe = np.where(ids >= 0, ids, 0)
-    cand = vectors[safe]  # [B, kf, d] gather — the rerank's hot cost
+    # [B, kf, d] gather — the rerank's hot cost.  Past ~4M rows the
+    # table is tens of GB and a random-order gather pays a TLB/page
+    # miss per row; fetching in ascending row order then unpermuting
+    # is ~4x faster at 10M x 768 under full-RAM pressure (r5 measured)
+    if vectors.shape[0] >= int(
+        _os.environ.get("COZO_TPU_SORTED_GATHER_MIN", 4_000_000)
+    ):
+        flat = safe.ravel()
+        order = np.argsort(flat, kind="stable")
+        g = vectors[flat[order]]
+        out = np.empty_like(g)
+        out[order] = g
+        cand = out.reshape(safe.shape[0], safe.shape[1], vectors.shape[1])
+    else:
+        cand = vectors[safe]
     if table.distance == "Cosine":
         dots = np.einsum("bkd,bd->bk", cand, q, dtype=np.float32)
         if sq_norms is not None:
